@@ -1,0 +1,35 @@
+"""Platform helpers: force CPU (for tests/host work) or use the TPU.
+
+The container's sitecustomize registers the TPU plugin at interpreter
+start with JAX_PLATFORMS=axon, so plain env vars are ignored; use
+jax.config instead. Call force_cpu() BEFORE any jax computation.
+"""
+
+import jax
+
+
+def force_cpu(virtual_devices: int | None = None):
+    import os
+
+    if virtual_devices is not None:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={virtual_devices}"
+            ).strip()
+    jax.config.update("jax_platforms", "cpu")
+
+
+def enable_compile_cache(path: str = "/root/.cache/olavm_tpu_jax"):
+    """Persistent XLA compile cache — compiles of the big field/NTT/Poseidon
+    graphs take minutes on this host, so cache them across processes."""
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False
