@@ -218,6 +218,8 @@ def arbitrary_poseidon_np(inputs: Sequence[int], with_rows: bool = False):
 
 
 def _const_rows(vals) -> gf.GF:
+    # NB: dtype must be explicit — np.array on python ints > 2^63 silently
+    # falls back to float64 and corrupts the low bits.
     arr = np.asarray(vals, dtype=np.uint64)
     return gf.GF(
         (arr & np.uint64(0xFFFFFFFF)).astype(np.uint32),
@@ -226,7 +228,9 @@ def _const_rows(vals) -> gf.GF:
 
 
 # stacked constants (host numpy; become trace constants under jit)
-_RC_ALL = _const_rows(np.array(ALL_ROUND_CONSTANTS).reshape(30, WIDTH))  # (30,12)
+_RC_ALL = _const_rows(
+    np.asarray(ALL_ROUND_CONSTANTS, dtype=np.uint64).reshape(30, WIDTH)
+)  # (30,12)
 _PF_CONST = _const_rows(FAST_PARTIAL_FIRST_ROUND_CONSTANT)  # (12,)
 _P_CONSTS = _const_rows(FAST_PARTIAL_ROUND_CONSTANTS)  # (22,)
 _P_VS = _const_rows(FAST_PARTIAL_ROUND_VS)  # (22,11)

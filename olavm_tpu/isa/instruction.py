@@ -170,7 +170,15 @@ def decode_to_asm(word: int, imm: Optional[int]) -> tuple[str, int]:
         second = imm_str() if is_op1_imm else f"r{op1}"
         text = f"{tok} r{op0} {second}"
     elif opcode in (Opcode.MOV, Opcode.NOT, Opcode.SIGCHECK):
-        second = imm_str() if is_op1_imm else f"r{op1}"
+        # op1 may be absent for `mov rX psp`: the reference prints the
+        # REG_NOT_USED sentinel r255 and the executor maps it to psp_start
+        # (executor/src/decode.rs:93-107, lib.rs:306-311)
+        if is_op1_imm:
+            second = imm_str()
+        elif op1 is None:
+            second = "r255"
+        else:
+            second = f"r{op1}"
         text = f"{tok} r{dst} {second}"
     elif opcode == Opcode.MSTORE:
         step = 2

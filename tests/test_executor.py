@@ -1,0 +1,88 @@
+"""Executor integration tests: run real reference programs end-to-end.
+
+Mirrors the reference executor test harness (executor/src/tests.rs:25-148):
+assemble the asm JSON, init the tape with mock tx context + calldata, execute,
+and rely on the programs' own `assert` instructions for correctness. Uses the
+same callee/caller addresses and calldata as the reference tests.
+"""
+
+import json
+
+import pytest
+
+from olavm_tpu.assembler.encoder import encode_asm_from_json_file
+from olavm_tpu.runtime.load_tx import init_tape, mock_tx_ctx
+from olavm_tpu.runtime.process import ExeEnd, Process, Program
+
+ASM_DIR = "/root/reference/assembler/test_data/asm"
+
+CALLEE = (9, 10, 11, 12)
+CALLER = (17, 18, 19, 20)
+CALLEE_EXE = (13, 14, 15, 16)
+
+
+def run_program(name, calldata=None):
+    bp = encode_asm_from_json_file(f"{ASM_DIR}/{name}")
+    program = Program.from_binary_program(bp)
+    process = Process()
+    if calldata is not None:
+        process.tp = 0
+        init_tape(process, calldata, CALLER, CALLEE, CALLEE_EXE, mock_tx_ctx())
+    process.addr_code = CALLEE_EXE
+    process.addr_storage = CALLEE
+    state = process.execute(program)
+    return process, program, state
+
+
+@pytest.mark.parametrize(
+    "name,calldata",
+    [
+        ("memory.json", None),
+        ("call.json", None),
+        ("comparison.json", None),
+        ("fibo_recursive.json", None),
+        ("fibo_loop.json", [10, 1, 2, 1015130275]),
+        ("malloc.json", None),
+        ("mem_gep.json", None),
+        ("mem_gep_vector.json", None),
+        ("bitwise.json", None),
+        ("range_check.json", None),
+        ("fib_asm.json", [10, 1, 2, 4185064725]),
+        ("sqrt_prophet_asm.json", [144, 10, 2, 3509365327]),
+    ],
+    ids=lambda v: v if isinstance(v, str) else "",
+)
+def test_run_program(name, calldata):
+    process, program, state = run_program(name, calldata)
+    assert isinstance(state, ExeEnd)
+    assert len(program.trace.exec) > 0
+    # every executed step has a decoded instruction
+    for step in program.trace.exec[:50]:
+        assert step.opcode != 0
+
+
+def test_fib_result():
+    # fib(10) = 55 left in r0 by bench_fib_non_recursive
+    process, program, state = run_program("fib_asm.json", [10, 1, 2, 4185064725])
+    assert process.registers[0] == 55
+
+
+def test_sqrt_result():
+    process, program, state = run_program(
+        "sqrt_prophet_asm.json", [144, 10, 2, 3509365327]
+    )
+    assert process.registers[0] == 12
+
+
+def test_memory_table_sorted():
+    process, program, _ = run_program("memory.json")
+    rows = program.trace.memory
+    addr_clk = [(r.addr, r.clk) for r in rows]
+    assert addr_clk == sorted(addr_clk)
+    # diff columns consistent
+    for prev, cur in zip(rows, rows[1:]):
+        if cur.addr != prev.addr:
+            if cur.diff_addr != 0:
+                assert cur.diff_addr == cur.addr - prev.addr
+        else:
+            assert cur.diff_clk == cur.clk - prev.clk or cur.is_rw == 0
