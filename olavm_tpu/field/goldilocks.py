@@ -197,3 +197,42 @@ def powers(base: int, n: int) -> np.ndarray:
         out[i] = acc
         acc = mul(acc, base)
     return out
+
+
+def sum_mod(a: np.ndarray, axis: int = -1) -> np.ndarray:
+    """Modular sum along an axis via pairwise log-tree of add_arr."""
+    a = np.asarray(a, dtype=np.uint64)
+    a = np.moveaxis(a, axis, 0)
+    n = a.shape[0]
+    while n > 1:
+        half = n // 2
+        s = add_arr(a[:half], a[half : 2 * half])
+        if n % 2:
+            a = np.concatenate([s, a[2 * half :]], axis=0)
+            n = half + 1
+        else:
+            a = s
+            n = half
+    return a[0]
+
+
+def prefix_sum_mod(a: np.ndarray) -> np.ndarray:
+    """Inclusive modular prefix sum along the last axis (Hillis-Steele)."""
+    a = np.array(a, dtype=np.uint64, copy=True)
+    n = a.shape[-1]
+    shift = 1
+    while shift < n:
+        a[..., shift:] = add_arr(a[..., shift:], a[..., :-shift])
+        shift <<= 1
+    return a
+
+
+def prefix_prod_mod(a: np.ndarray) -> np.ndarray:
+    """Inclusive modular prefix product along the last axis."""
+    a = np.array(a, dtype=np.uint64, copy=True)
+    n = a.shape[-1]
+    shift = 1
+    while shift < n:
+        a[..., shift:] = mul_arr(a[..., shift:], a[..., :-shift])
+        shift <<= 1
+    return a

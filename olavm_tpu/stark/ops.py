@@ -1,0 +1,85 @@
+"""Field-op adapters so each table's constraint code runs in two modes:
+
+- BaseOps: prover quotient evaluation — values are numpy uint64 arrays of
+  shape (size,), one per column, vectorized over all coset points (the
+  TPU-friendly replacement for the reference's packed-SIMD eval,
+  circuits/src/stark/stark.rs:35-41);
+- ExtOps: verifier evaluation at zeta — values are (2,) extension elements.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..field import extension as ge
+from ..field import goldilocks as g
+
+
+class BaseOps:
+    is_ext = False
+
+    @staticmethod
+    def add(a, b):
+        return g.add_arr(a, b)
+
+    @staticmethod
+    def sub(a, b):
+        return g.sub_arr(a, b)
+
+    @staticmethod
+    def mul(a, b):
+        return g.mul_arr(a, b)
+
+    @staticmethod
+    def neg(a):
+        return g.neg_arr(a)
+
+    @staticmethod
+    def constant(c: int):
+        return np.uint64(c % g.P)
+
+    @staticmethod
+    def scalar_mul(a, c: int):
+        return g.mul_arr(a, np.uint64(c % g.P))
+
+    @staticmethod
+    def add_many(terms):
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = g.add_arr(acc, t)
+        return acc
+
+
+class ExtOps:
+    is_ext = True
+
+    @staticmethod
+    def add(a, b):
+        return ge.add(a, b)
+
+    @staticmethod
+    def sub(a, b):
+        return ge.sub(a, b)
+
+    @staticmethod
+    def mul(a, b):
+        return ge.mul(a, b)
+
+    @staticmethod
+    def neg(a):
+        return ge.neg(a)
+
+    @staticmethod
+    def constant(c: int):
+        return ge.from_base(c % g.P)
+
+    @staticmethod
+    def scalar_mul(a, c: int):
+        return ge.scalar_mul(a, c % g.P)
+
+    @staticmethod
+    def add_many(terms):
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = ge.add(acc, t)
+        return acc
