@@ -48,6 +48,24 @@ FAST_PARTIAL_ROUND_INITIAL_MATRIX = _C["FAST_PARTIAL_ROUND_INITIAL_MATRIX"]  # 1
 
 _U64 = np.uint64
 
+_NATIVE = None
+_NATIVE_CHECKED = False
+
+
+def _native():
+    """Native kernel module if built (olavm_tpu.native), else None."""
+    global _NATIVE, _NATIVE_CHECKED
+    if not _NATIVE_CHECKED:
+        _NATIVE_CHECKED = True
+        try:
+            from .. import native
+
+            if native.available:
+                _NATIVE = native
+        except Exception:
+            _NATIVE = None
+    return _NATIVE
+
 
 # ---------------------------------------------------------------------------
 # Host (numpy) version. States: uint64 array of shape (..., 12).
@@ -117,6 +135,12 @@ def permute_np(states: np.ndarray, with_trace: bool = False):
     post-constant-layer states of the second full rounds.
     """
     states = np.asarray(states, dtype=np.uint64)
+    if not with_trace:
+        native = _native()
+        if native is not None:
+            return native.permute_batch(states.reshape(-1, WIDTH)).reshape(
+                states.shape
+            )
     state = [states[..., i].copy() for i in range(WIDTH)]
     trace = {} if with_trace else None
     round_ctr = 0
@@ -204,7 +228,7 @@ def arbitrary_poseidon_np(inputs: Sequence[int], with_rows: bool = False):
             inp = state.copy()
             out, tr = permute_np(state, with_trace=True)
             rows.append({"input": inp, "output": out, **tr})
-            state = out
+            state = out.copy()
         else:
             state = permute_np(state)
     return [int(v) for v in state[:4]], rows

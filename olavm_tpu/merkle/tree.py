@@ -117,11 +117,16 @@ class MerkleTree:
 
 
 def _build_host(leaves_u64: np.ndarray, num_compress: int) -> list[np.ndarray]:
-    """Vectorized numpy build (batched permute_np over all nodes per level)."""
+    """Vectorized numpy/native build (batched over all nodes per level)."""
+    from ..hash.poseidon import _native
+
+    native = _native()
     n, leaf_len = leaves_u64.shape
     if leaf_len <= 4:
         digs = np.zeros((n, 4), dtype=np.uint64)
         digs[:, :leaf_len] = leaves_u64
+    elif native is not None:
+        digs = native.hash_leaves(leaves_u64)
     else:
         state = np.zeros((n, pos.WIDTH), dtype=np.uint64)
         for start in range(0, leaf_len, pos.RATE):
@@ -131,11 +136,16 @@ def _build_host(leaves_u64: np.ndarray, num_compress: int) -> list[np.ndarray]:
         digs = state[:, :4]
     levels = [digs]
     for _ in range(num_compress):
-        m = digs.shape[0] // 2
-        state = np.zeros((m, pos.WIDTH), dtype=np.uint64)
-        state[:, 0:4] = digs[0::2]
-        state[:, 4:8] = digs[1::2]
-        digs = pos.permute_np(state)[:, :4]
+        if native is not None:
+            digs = native.compress_batch(
+                np.ascontiguousarray(digs[0::2]), np.ascontiguousarray(digs[1::2])
+            )
+        else:
+            m = digs.shape[0] // 2
+            state = np.zeros((m, pos.WIDTH), dtype=np.uint64)
+            state[:, 0:4] = digs[0::2]
+            state[:, 4:8] = digs[1::2]
+            digs = pos.permute_np(state)[:, :4]
         levels.append(digs)
     return levels
 

@@ -156,3 +156,69 @@ def gen_storage_table(process, program, hash_roots):
         )
         program.trace.insert_rangecheck(0, (0, 0, 0, 1, 0))
     process.storage.trace = {}
+
+
+def gen_storage_hash_table(process, program, account_tree):
+    """Replay storage+program logs through the SMT and emit StorageHashRow
+    witnesses (executor/src/trace.rs:280-359). Returns per-access root hashes
+    and moves program-hash rows into trace.builtin_program_hash."""
+    from ..tree.smt import ROOT_TREE_DEPTH, tree_key_to_int
+    from .trace import StorageHashRow
+
+    storage_log_len = len(process.storage_log)
+    logs = list(process.storage_log) + list(process.program_log)
+    process.storage_log = []
+    process.program_log = []
+    pre_root = account_tree.root_hash()
+    hash_traces = account_tree.process_block(logs)
+    account_tree.save()
+
+    LEAF_LAYER = 255
+    root_hashes = []
+    all_rows = []
+    for chunk_idx, log in enumerate(logs):
+        chunk = hash_traces[chunk_idx * ROOT_TREE_DEPTH:(chunk_idx + 1) * ROOT_TREE_DEPTH]
+        is_write = {"read": 0, "initial": 1, "repeated": 2}[log["kind"]]
+        root_hash = tuple(chunk[-1].row.output[:4])
+        root_hashes.append(root_hash)
+        acc = 0
+        key_int = tree_key_to_int(log["key"])
+        hash_type = 0
+        rows = []
+        for item_idx, item in enumerate(reversed(chunk)):
+            layer_bit = (key_int >> (LEAF_LAYER - item_idx)) & 1
+            layer = item_idx + 1
+            if item_idx == LEAF_LAYER:
+                hash_type = 1
+            acc = (acc * 2 + layer_bit) % g.P
+            rows.append(
+                StorageHashRow(
+                    storage_access_idx=chunk_idx + 1,
+                    pre_root=tuple(pre_root),
+                    root=root_hash,
+                    is_write=is_write,
+                    hash_type=hash_type,
+                    pre_hash=tuple(item.pre_hash),
+                    hash=tuple(item.row.output[:4]),
+                    layer=layer,
+                    layer_bit=layer_bit,
+                    addr_acc=acc,
+                    addr=tuple(log["key"]),
+                    pre_path=tuple(item.pre_path),
+                    path=tuple(item.path),
+                    sibling=tuple(item.sibling),
+                )
+            )
+            if layer % 64 == 0:
+                acc = 0
+            program.trace.builtin_poseidon.append(item.row)
+            program.trace.builtin_poseidon.append(item.pre_row)
+        pre_root = root_hash
+        all_rows.extend(rows)
+
+    split = storage_log_len * ROOT_TREE_DEPTH
+    program.trace.builtin_storage_hash = (
+        program.trace.builtin_storage_hash + all_rows[:split]
+    )
+    program.trace.builtin_program_hash = all_rows[split:]
+    return root_hashes

@@ -1,0 +1,57 @@
+"""End-to-end run harness: assemble -> SMT setup -> execute -> finalize all
+tables. Mirrors the reference test harness (circuits/src/test_utils.rs and
+executor/src/tests.rs:25-148)."""
+
+from __future__ import annotations
+
+from ..assembler.encoder import encode_asm_from_json_file
+from ..hash import poseidon as pos
+from ..tree.smt import AccountTree
+from .finalize import gen_storage_hash_table, gen_storage_table
+from .load_tx import init_tape, mock_tx_ctx
+from .process import Process, Program
+
+CALLEE = (9, 10, 11, 12)
+CALLER = (17, 18, 19, 20)
+CALLEE_EXE = (13, 14, 15, 16)
+
+
+def encode_addr(addr) -> str:
+    return ":".join(str(int(x)) for x in addr)
+
+
+def run_program_full(asm_path: str, calldata=None, account_tree=None,
+                     callee=CALLEE, caller=CALLER, callee_exe=CALLEE_EXE):
+    """Full pipeline: returns (process, program, account_tree)."""
+    bp = encode_asm_from_json_file(asm_path)
+    program = Program.from_binary_program(bp)
+    code = [int(w, 16) for w in program.instructions]
+    code_hash = tuple(pos.hash_no_pad(code))
+
+    process = Process()
+    if calldata is not None:
+        process.tp = 0
+        init_tape(process, calldata, caller, callee, callee_exe, mock_tx_ctx())
+    process.addr_code = callee_exe
+    process.addr_storage = callee
+
+    program.trace.addr_program_hash[encode_addr(callee_exe)] = code
+
+    if account_tree is None:
+        account_tree = AccountTree()
+    account_tree.process_block(
+        [{"kind": "initial", "key": callee_exe, "value": code_hash}]
+    )
+    account_tree.save()
+    start_root = account_tree.root_hash()
+
+    process.program_log.append(
+        {"kind": "read", "key": callee_exe, "value": code_hash}
+    )
+
+    process.execute(program, account_tree=account_tree)
+
+    hash_roots = gen_storage_hash_table(process, program, account_tree)
+    gen_storage_table(process, program, hash_roots)
+    program.trace.start_end_roots = (start_root, account_tree.root_hash())
+    return process, program, account_tree

@@ -96,7 +96,28 @@ def _poseidon_row_from_trace(inp, out, tr, **filters) -> PoseidonRow:
 def poseidon_with_row(state12: list[int], **filters) -> tuple[list[int], PoseidonRow]:
     import numpy as np
 
+    from ..hash.poseidon import _native
+
     inp = np.array(state12, dtype=np.uint64)
+    native = _native()
+    if native is not None:
+        outs, traces = native.permute_batch_trace(inp.reshape(1, 12))
+        out = outs[0]
+        t = traces[0]
+        row = PoseidonRow(
+            input=tuple(int(x) for x in inp),
+            full_0_1=tuple(int(x) for x in t[0:12]),
+            full_0_2=tuple(int(x) for x in t[12:24]),
+            full_0_3=tuple(int(x) for x in t[24:36]),
+            partial=tuple(int(x) for x in t[36:58]),
+            full_1_0=tuple(int(x) for x in t[58:70]),
+            full_1_1=tuple(int(x) for x in t[70:82]),
+            full_1_2=tuple(int(x) for x in t[82:94]),
+            full_1_3=tuple(int(x) for x in t[94:106]),
+            output=tuple(int(x) for x in out),
+            **filters,
+        )
+        return [int(x) for x in out], row
     out, tr = pos.permute_np(inp, with_trace=True)
     return [int(x) for x in out], _poseidon_row_from_trace(inp, out, tr, **filters)
 
@@ -972,13 +993,39 @@ class Process:
 
         # program-hash sponge rows (one PoseidonRow per rate-8 chunk)
         words = [int(s, 16) for s in program.instructions]
-        _, rows = pos.arbitrary_poseidon_np(words, with_rows=True)
-        for r in rows:
-            program.trace.builtin_poseidon.append(
-                _poseidon_row_from_trace(
-                    r["input"], r["output"], r, filter_looked_normal=True
-                )
+        from ..hash.poseidon import _native
+
+        native = _native()
+        if native is not None and words:
+            import numpy as np
+
+            _, raw = native.arbitrary_sponge_trace(
+                np.array(words, dtype=np.uint64)
             )
+            for r in raw:
+                program.trace.builtin_poseidon.append(
+                    PoseidonRow(
+                        input=tuple(int(x) for x in r[0:12]),
+                        full_0_1=tuple(int(x) for x in r[12:24]),
+                        full_0_2=tuple(int(x) for x in r[24:36]),
+                        full_0_3=tuple(int(x) for x in r[36:48]),
+                        partial=tuple(int(x) for x in r[48:70]),
+                        full_1_0=tuple(int(x) for x in r[70:82]),
+                        full_1_1=tuple(int(x) for x in r[82:94]),
+                        full_1_2=tuple(int(x) for x in r[94:106]),
+                        full_1_3=tuple(int(x) for x in r[106:118]),
+                        output=tuple(int(x) for x in r[118:130]),
+                        filter_looked_normal=True,
+                    )
+                )
+        else:
+            _, rows = pos.arbitrary_poseidon_np(words, with_rows=True)
+            for r in rows:
+                program.trace.builtin_poseidon.append(
+                    _poseidon_row_from_trace(
+                        r["input"], r["output"], r, filter_looked_normal=True
+                    )
+                )
 
         end_step = None
         while True:

@@ -33,6 +33,32 @@ class Challenger:
         for e in elements:
             self.observe_element(e)
 
+    def observe_array(self, arr):
+        """Bulk absorb of a uint64 array (native fast path; equivalent to
+        observe_element per value)."""
+        arr = np.asarray(arr, dtype=np.uint64).reshape(-1)
+        from ..hash.poseidon import _native
+
+        native = _native()
+        if native is None or arr.size < 64:
+            self.observe_elements(int(v) for v in arr)
+            return
+        self.output_buffer.clear()
+        pending = list(self.input_buffer)
+        state = np.array(self.sponge_state, dtype=np.uint64)
+        # pending elements sit in state[0:len] awaiting the next permute
+        # (overwrite-mode absorb makes this equivalent to buffering them)
+        state[: len(pending)] = np.array(pending, dtype=np.uint64)
+        buf = native.absorb_stream(state, len(pending), arr)
+        self.sponge_state = [int(v) for v in state]
+        total = len(pending) + arr.size
+        combined_tail = (pending + [int(v) for v in arr[-min(arr.size, buf):]])[
+            -buf:
+        ] if buf else []
+        self.input_buffer = [int(v) for v in combined_tail]
+        if buf == 0 and total > 0:
+            self.output_buffer = list(self.sponge_state[:RATE])
+
     def observe_extension_element(self, e):
         self.observe_element(int(np.asarray(e)[..., 0]))
         self.observe_element(int(np.asarray(e)[..., 1]))

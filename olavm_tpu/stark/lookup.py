@@ -8,38 +8,35 @@ from ..field import goldilocks as g
 
 
 def permuted_cols(inputs: np.ndarray, table: np.ndarray):
-    """Generate (sorted_inputs, permuted_table) per lookup.rs:69-134."""
+    """Generate (sorted_inputs, permuted_table) for the halo2-style lookup
+    (reference algorithm: lookup.rs:69-134).
+
+    Vectorized construction: where the sorted input introduces a new value,
+    the permuted table carries that value (consuming one copy from the table
+    multiset); the remaining slots take the leftover table values. The
+    leftover placement order differs from the reference's stack-based fill,
+    but any placement satisfies the lookup constraints and the permutation
+    argument (permuted_table is a permutation of table; at every row where
+    the input value changes, permuted_table == sorted_input).
+    """
     n = len(inputs)
-    sorted_inputs = np.sort(np.asarray(inputs, dtype=np.uint64), kind="stable")
-    sorted_table = np.sort(np.asarray(table, dtype=np.uint64), kind="stable")
-    permuted_table = np.zeros(n, dtype=np.uint64)
-    unused_inds: list[int] = []
-    unused_vals: list[int] = []
-    i = j = 0
-    while i < n and j < n:
-        iv = sorted_inputs[i]
-        tv = sorted_table[j]
-        if iv > tv:
-            unused_vals.append(tv)
-            j += 1
-        elif iv < tv:
-            if unused_vals:
-                permuted_table[i] = unused_vals.pop()
-            else:
-                unused_inds.append(i)
-            i += 1
-        else:
-            permuted_table[i] = tv
-            i += 1
-            j += 1
-    for jj in range(j, n):
-        unused_vals.append(sorted_table[jj])
-    for ii in range(i, n):
-        unused_inds.append(ii)
-    assert len(unused_inds) == len(unused_vals)
-    for ind, val in zip(unused_inds, unused_vals):
-        permuted_table[ind] = val
-    return sorted_inputs, permuted_table
+    si = np.sort(np.asarray(inputs, dtype=np.uint64), kind="stable")
+    st = np.sort(np.asarray(table, dtype=np.uint64), kind="stable")
+    mask_new = np.empty(n, dtype=bool)
+    mask_new[0] = True
+    mask_new[1:] = si[1:] != si[:-1]
+    needed = si[mask_new]
+    # first occurrence of each needed value in the sorted table
+    pos = np.searchsorted(st, needed)
+    if np.any(pos >= n) or np.any(st[np.minimum(pos, n - 1)] != needed):
+        raise ValueError("lookup input value not present in table")
+    used = np.zeros(n, dtype=bool)
+    used[pos] = True
+    leftovers = st[~used]
+    permuted_table = np.empty(n, dtype=np.uint64)
+    permuted_table[mask_new] = needed
+    permuted_table[~mask_new] = leftovers
+    return si, permuted_table
 
 
 def eval_lookups(local, nxt, consumer, col_permuted_input, col_permuted_table):

@@ -127,7 +127,6 @@ def generate_memory_trace(cells) -> np.ndarray:
             tr[COL_MEM_DIFF_ADDR_COND][i] = gl.P - addr
             tr[COL_MEM_REGION_PROPHET][i] = 1
             tr[COL_MEM_RC_VALUE][i] = tr[COL_MEM_DIFF_ADDR_COND][i]
-            tr[COL_MEM_FILTER_LOOKING_RC_COND][i] = 1
             addr += 1
             first_pad = False
     return tr

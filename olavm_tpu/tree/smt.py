@@ -1,0 +1,165 @@
+"""Depth-256 sparse Merkle account tree with Poseidon hashing and per-update
+HashTrace witness capture.
+
+Functionally equivalent to the reference's batched zkSync-style tree
+(core/src/merkle_tree/tree.rs, patch.rs, tree_config.rs) for sequential
+updates, with identical hashing semantics:
+- leaf "hash" = the raw 4-limb value (empty leaf = zeros);
+- level-1 nodes: compress(left_value, right_value, Leaf) with input[8] = 1;
+- higher nodes: compress(left, right, Branch) (core/src/crypto/poseidon.rs);
+- per update, a HashTrace entry per level (depth 0..255) carrying the post
+  and pre Poseidon rows, child path values and the sibling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..hash import poseidon as pos
+from ..runtime.trace import PoseidonRow
+
+ROOT_TREE_DEPTH = 256
+
+
+def tree_key_to_int(key) -> int:
+    """key[0] is the most significant 64-bit limb (merkle_tree/mod.rs:106)."""
+    out = 0
+    for limb in key:
+        out = (out << 64) | int(limb)
+    return out
+
+
+@dataclass
+class HashTrace:
+    row: PoseidonRow  # post compress row
+    path: tuple  # current child hash
+    sibling: tuple
+    pre_hash: tuple  # pre parent hash
+    pre_path: tuple  # previous child hash
+    pre_row: PoseidonRow
+
+
+def _compress(left, right, is_leaf: bool):
+    """-> (hash4, PoseidonRow with storage filter set)."""
+    state = list(left) + list(right) + [0, 0, 0, 0]
+    if is_leaf:
+        state[8] = 1
+    from ..runtime.process import poseidon_with_row
+
+    if is_leaf:
+        out, row = poseidon_with_row(state, filter_looked_storage=True)
+    else:
+        out, row = poseidon_with_row(state, filter_looked_storage_branch=True)
+    return tuple(out[:4]), row
+
+
+_DEFAULT_HASHES = None
+
+
+def default_hashes() -> list[tuple]:
+    """default_hashes[k] = hash of an empty subtree with k levels below
+    (tree_config.rs:83-100); cached to disk (256 Poseidon hashes)."""
+    global _DEFAULT_HASHES
+    if _DEFAULT_HASHES is None:
+        cache = os.path.join(os.path.dirname(__file__), "default_hashes.json")
+        if os.path.exists(cache):
+            with open(cache) as f:
+                _DEFAULT_HASHES = [tuple(x) for x in json.load(f)]
+        else:
+            out = [(0, 0, 0, 0)]
+            for k in range(ROOT_TREE_DEPTH):
+                h, _ = _compress(out[-1], out[-1], is_leaf=(k == 0))
+                out.append(h)
+            _DEFAULT_HASHES = out
+            with open(cache, "w") as f:
+                json.dump([list(x) for x in out], f)
+    return _DEFAULT_HASHES
+
+
+class AccountTree:
+    """In-memory SMT with optional JSON persistence."""
+
+    def __init__(self, db_path: str | None = None):
+        self.db_path = db_path
+        self.nodes: dict[tuple[int, int], tuple] = {}
+        self.defaults = default_hashes()
+        self._root = None
+        if db_path and os.path.exists(db_path):
+            self._load(db_path)
+
+    # ------------------------------------------------------------------
+
+    def root_hash(self) -> tuple:
+        if self._root is not None:
+            return self._root
+        return self.defaults[ROOT_TREE_DEPTH]
+
+    def get_leaf(self, tree_key) -> tuple | None:
+        idx = tree_key_to_int(tree_key)
+        return self.nodes.get((0, idx))
+
+    def _node(self, level: int, index: int) -> tuple:
+        return self.nodes.get((level, index), self.defaults[level])
+
+    def process_block(self, storage_logs) -> list[HashTrace]:
+        """Apply logs sequentially; returns ROOT_TREE_DEPTH HashTraces per
+        log (depth order 0..255, leaf compress first)."""
+        traces: list[HashTrace] = []
+        for log in storage_logs:
+            key = log["key"]
+            kind = log["kind"]
+            idx = tree_key_to_int(key)
+            pre_value = self.nodes.get((0, idx), (0, 0, 0, 0))
+            if kind == "read":
+                new_value = pre_value
+            else:
+                new_value = tuple(int(v) for v in log["value"])
+            cur = new_value
+            pre = pre_value
+            self.nodes[(0, idx)] = cur
+            for depth in range(ROOT_TREE_DEPTH):
+                node_index = idx >> depth
+                sib = self._node(depth, node_index ^ 1)
+                odd = node_index & 1
+                if odd:
+                    left, right = sib, cur
+                    pre_left, pre_right = sib, pre
+                else:
+                    left, right = cur, sib
+                    pre_left, pre_right = pre, sib
+                parent, row = _compress(left, right, depth == 0)
+                pre_parent, pre_row = _compress(pre_left, pre_right, depth == 0)
+                traces.append(
+                    HashTrace(row, tuple(cur), tuple(sib), pre_parent,
+                              tuple(pre), pre_row)
+                )
+                cur = parent
+                pre = pre_parent
+                self.nodes[(depth + 1, idx >> (depth + 1))] = cur
+            self._root = cur
+        return traces
+
+    # ------------------------------------------------------------------
+
+    def save(self):
+        if self.db_path:
+            data = {
+                "root": list(self.root_hash()),
+                "nodes": [
+                    [lvl, str(idx), list(h)] for (lvl, idx), h in self.nodes.items()
+                ],
+            }
+            with open(self.db_path, "w") as f:
+                json.dump(data, f)
+
+    def _load(self, path: str):
+        with open(path) as f:
+            data = json.load(f)
+        self._root = tuple(data["root"])
+        self.nodes = {
+            (lvl, int(idx)): tuple(h) for lvl, idx, h in data["nodes"]
+        }

@@ -79,3 +79,39 @@ def test_memory_constraints(name, calldata):
     trace = generate_memory_trace(program.trace.memory)
     failures = eval_on_subgroup(MemoryStark(), trace)
     assert not failures, f"constraints failing: {failures[:10]}"
+
+
+def test_rangecheck_constraints():
+    from olavm_tpu.tables.rangecheck import RangeCheckStark, generate_rc_trace
+    _, program, _ = run_program("range_check.json", None)
+    trace = generate_rc_trace(program.trace.builtin_rangecheck)
+    assert trace.shape[1] >= 1 << 16
+    failures = eval_on_subgroup(RangeCheckStark(), trace)
+    assert not failures, failures[:5]
+
+
+def test_cmp_constraints():
+    from olavm_tpu.tables.cmp import CmpStark, generate_cmp_trace
+    _, program, _ = run_program("comparison.json", None)
+    trace = generate_cmp_trace(program.trace.builtin_cmp)
+    failures = eval_on_subgroup(CmpStark(), trace)
+    assert not failures, failures[:5]
+
+
+def test_bitwise_constraints():
+    from olavm_tpu.tables.bitwise import BitwiseStark, generate_bitwise_trace
+    _, program, _ = run_program("bitwise.json", None)
+    trace, beta = generate_bitwise_trace(program.trace.builtin_bitwise_combined)
+    assert trace.shape[1] == 1 << 18
+    stark = BitwiseStark()
+    stark.compress_challenge = beta
+    failures = eval_on_subgroup(stark, trace)
+    assert not failures, failures[:5]
+
+
+def test_poseidon_table_constraints():
+    from olavm_tpu.tables.poseidon import PoseidonStark, generate_poseidon_trace
+    _, program, _ = run_program("poseidon.json", None)
+    trace = generate_poseidon_trace(program.trace.builtin_poseidon)
+    failures = eval_on_subgroup(PoseidonStark(), trace)
+    assert not failures, failures[:5]
