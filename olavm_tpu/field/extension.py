@@ -108,3 +108,61 @@ def powers(a, n: int):
         out[i] = acc
         acc = mul(acc, a)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Python-int tuple ops — fast scalar path for verifier-side loops, where
+# numpy's per-call overhead (microseconds) dwarfs the arithmetic.
+# ---------------------------------------------------------------------------
+
+_P = g.P
+
+
+def t(a) -> tuple:
+    """Coerce an extension value ((2,) array / tuple / base int) to a tuple."""
+    if isinstance(a, tuple):
+        return a
+    if isinstance(a, (int, np.integer)):
+        return (int(a), 0)
+    arr = np.asarray(a).reshape(-1)
+    return (int(arr[0]), int(arr[1]))
+
+
+def t_add(a, b):
+    return ((a[0] + b[0]) % _P, (a[1] + b[1]) % _P)
+
+
+def t_sub(a, b):
+    return ((a[0] - b[0]) % _P, (a[1] - b[1]) % _P)
+
+
+def t_mul(a, b):
+    return (
+        (a[0] * b[0] + W * a[1] * b[1]) % _P,
+        (a[0] * b[1] + a[1] * b[0]) % _P,
+    )
+
+
+def t_scalar(a, s: int):
+    return ((a[0] * s) % _P, (a[1] * s) % _P)
+
+
+def t_inv(a):
+    norm = (a[0] * a[0] - W * a[1] * a[1]) % _P
+    ninv = pow(norm, _P - 2, _P)
+    return ((a[0] * ninv) % _P, (-a[1] * ninv) % _P)
+
+
+def t_exp(a, e: int):
+    result = (1, 0)
+    base = a
+    while e:
+        if e & 1:
+            result = t_mul(result, base)
+        base = t_mul(base, base)
+        e >>= 1
+    return result
+
+
+def t_arr(a) -> np.ndarray:
+    return np.array(a, dtype=np.uint64)

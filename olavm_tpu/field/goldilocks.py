@@ -94,6 +94,10 @@ def to_gf(x) -> np.ndarray:
 
 
 def add_arr(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    nat = _native()
+    if (nat is not None and isinstance(a, np.ndarray) and isinstance(b, np.ndarray)
+            and a.shape == b.shape and a.size >= _NATIVE_MIN):
+        return nat.add_arrays(a, b)
     with np.errstate(over="ignore"):
         s = a + b  # wraps mod 2^64
         carry = s < a
@@ -102,6 +106,10 @@ def add_arr(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def sub_arr(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    nat = _native()
+    if (nat is not None and isinstance(a, np.ndarray) and isinstance(b, np.ndarray)
+            and a.shape == b.shape and a.size >= _NATIVE_MIN):
+        return nat.sub_arrays(a, b)
     with np.errstate(over="ignore"):
         d = a - b
         borrow = a < b
@@ -147,7 +155,41 @@ def reduce128(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
         return np.where(t2 >= _U64(P), t2 - _U64(P), t2)
 
 
+_NATIVE_MIN = 1 << 15
+_native_mod = None
+
+
+def _native():
+    """The native array-kernel module, or None (lazy import, cached)."""
+    global _native_mod
+    if _native_mod is None:
+        try:
+            from ..native import ntt_native
+
+            _native_mod = ntt_native if ntt_native.available else False
+        except Exception:
+            _native_mod = False
+    return _native_mod or None
+
+
 def mul_arr(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    nat = _native()
+    if nat is not None:
+        a_arr = isinstance(a, np.ndarray) and a.ndim > 0
+        b_arr = isinstance(b, np.ndarray) and b.ndim > 0
+        if a_arr and b_arr and a.shape == b.shape and a.size >= _NATIVE_MIN:
+            return nat.mul_arrays(a, b)
+        if a_arr and not b_arr and a.size >= _NATIVE_MIN:
+            return nat.mul_scalar(a, int(b))
+        if b_arr and not a_arr and b.size >= _NATIVE_MIN:
+            return nat.mul_scalar(b, int(a))
+        # row-broadcast: (..., n) * (n,)
+        if (a_arr and b_arr and b.ndim == 1 and a.ndim >= 2
+                and a.shape[-1] == b.shape[0] and a.size >= _NATIVE_MIN):
+            return nat.scale_rows(a, b)
+        if (a_arr and b_arr and a.ndim == 1 and b.ndim >= 2
+                and b.shape[-1] == a.shape[0] and b.size >= _NATIVE_MIN):
+            return nat.scale_rows(b, a)
     lo, hi = _mul_wide(a, b)
     return reduce128(lo, hi)
 
@@ -173,6 +215,9 @@ def inv_arr(a: np.ndarray) -> np.ndarray:
 
 def batch_inv(a: np.ndarray) -> np.ndarray:
     """Montgomery batch inversion over the flattened array (zeros -> zero)."""
+    nat = _native()
+    if nat is not None and a.size > 64:
+        return nat.batch_inv(a).reshape(a.shape)
     flat = a.reshape(-1)
     n = flat.shape[0]
     nz = np.where(flat == 0, _U64(1), flat)
@@ -191,6 +236,9 @@ def batch_inv(a: np.ndarray) -> np.ndarray:
 
 
 def powers(base: int, n: int) -> np.ndarray:
+    nat = _native()
+    if nat is not None and n > 256:
+        return nat.gl_powers(int(base) % P, n)
     out = np.empty(n, dtype=np.uint64)
     acc = 1
     for i in range(n):

@@ -47,6 +47,13 @@ def _compress_level(digests: list[gf.GF]) -> list[gf.GF]:
     return pos.two_to_one_gf(evens, odds)
 
 
+def _default_is_cpu() -> bool:
+    try:
+        return jax.default_backend() == "cpu"
+    except Exception:
+        return True
+
+
 class MerkleTree:
     """Digest tree with cap. levels[0] = leaf digests ... levels[-1] = cap.
 
@@ -54,9 +61,13 @@ class MerkleTree:
     proofs are cheap; the build itself runs on device.
     """
 
-    def __init__(self, levels: list[np.ndarray], cap_height: int):
+    def __init__(self, levels: list[np.ndarray], cap_height: int,
+                 hasher=None):
+        from ..hash.hashers import POSEIDON
+
         self.levels = levels
         self.cap_height = cap_height
+        self.hasher = hasher or POSEIDON
 
     @property
     def cap(self) -> np.ndarray:
@@ -64,28 +75,35 @@ class MerkleTree:
 
     @staticmethod
     def build(
-        leaves_u64: np.ndarray, cap_height: int = 0, backend: str = "auto"
+        leaves_u64: np.ndarray, cap_height: int = 0, backend: str = "auto",
+        hasher=None,
     ) -> "MerkleTree":
         """leaves_u64: (n_leaves, leaf_len) uint64; n_leaves a power of two.
 
-        backend: "device" (JAX, batched permutations), "host" (vectorized
-        numpy — faster for small trees and avoids device compiles), or
-        "auto" (host below 4096 leaves).
+        backend: "device" (JAX, batched Poseidon permutations), "host"
+        (vectorized numpy/native — faster for small trees and avoids device
+        compiles), or "auto" (device only on an accelerator, only for big
+        trees, Poseidon only). hasher: hash.hashers.POSEIDON / BLAKE3.
         """
+        from ..hash.hashers import POSEIDON
+
+        hasher = hasher or POSEIDON
         n = leaves_u64.shape[0]
         log_n = n.bit_length() - 1
         assert 1 << log_n == n, "leaf count must be a power of two"
         assert cap_height <= log_n
+        if hasher.kind != "poseidon":
+            backend = "host"
         if backend == "auto":
-            backend = "host" if n < 4096 else "device"
+            backend = "host" if (n < 4096 or _default_is_cpu()) else "device"
         if backend == "host":
-            levels = _build_host(leaves_u64, log_n - cap_height)
+            levels = _build_host(leaves_u64, log_n - cap_height, hasher)
         else:
             digs = _jit_build(gf.from_u64(leaves_u64), log_n - cap_height)
             levels = [
                 np.stack([gf.to_u64(x) for x in level], axis=-1) for level in digs
             ]
-        return MerkleTree(levels, cap_height)
+        return MerkleTree(levels, cap_height, hasher)
 
     def prove(self, leaf_index: int) -> list[list[int]]:
         """Merkle path: sibling digests from leaf level up to (excl.) the cap."""
@@ -104,56 +122,44 @@ class MerkleTree:
         leaf_index: int,
         cap: np.ndarray,
         proof: list[list[int]],
+        hasher=None,
     ) -> bool:
-        digest = _leaf_digest_host(leaf_data)
+        from ..hash.hashers import POSEIDON
+
+        hasher = hasher or POSEIDON
+        digest = _leaf_digest_host(leaf_data, hasher)
         idx = leaf_index
         for sib in proof:
             if idx & 1:
-                digest = pos.two_to_one(sib, digest)
+                digest = hasher.two_to_one(sib, digest)
             else:
-                digest = pos.two_to_one(digest, sib)
+                digest = hasher.two_to_one(digest, sib)
             idx >>= 1
-        return [int(v) for v in cap[idx]] == list(digest)
+        return [int(v) for v in cap[idx]] == [int(v) for v in digest]
 
 
-def _build_host(leaves_u64: np.ndarray, num_compress: int) -> list[np.ndarray]:
+def _build_host(leaves_u64: np.ndarray, num_compress: int, hasher
+                ) -> list[np.ndarray]:
     """Vectorized numpy/native build (batched over all nodes per level)."""
-    from ..hash.poseidon import _native
-
-    native = _native()
     n, leaf_len = leaves_u64.shape
-    if leaf_len <= 4:
+    if leaf_len <= hasher.noop_max:
         digs = np.zeros((n, 4), dtype=np.uint64)
         digs[:, :leaf_len] = leaves_u64
-    elif native is not None:
-        digs = native.hash_leaves(leaves_u64)
     else:
-        state = np.zeros((n, pos.WIDTH), dtype=np.uint64)
-        for start in range(0, leaf_len, pos.RATE):
-            chunk = min(pos.RATE, leaf_len - start)
-            state[:, :chunk] = leaves_u64[:, start : start + chunk]
-            state = pos.permute_np(state)
-        digs = state[:, :4]
+        digs = hasher.hash_leaves(leaves_u64)
     levels = [digs]
     for _ in range(num_compress):
-        if native is not None:
-            digs = native.compress_batch(
-                np.ascontiguousarray(digs[0::2]), np.ascontiguousarray(digs[1::2])
-            )
-        else:
-            m = digs.shape[0] // 2
-            state = np.zeros((m, pos.WIDTH), dtype=np.uint64)
-            state[:, 0:4] = digs[0::2]
-            state[:, 4:8] = digs[1::2]
-            digs = pos.permute_np(state)[:, :4]
+        digs = hasher.compress(
+            np.ascontiguousarray(digs[0::2]), np.ascontiguousarray(digs[1::2])
+        )
         levels.append(digs)
     return levels
 
 
-def _leaf_digest_host(leaf_data: list[int]) -> list[int]:
-    if len(leaf_data) <= 4:
+def _leaf_digest_host(leaf_data: list[int], hasher) -> list[int]:
+    if len(leaf_data) <= hasher.noop_max:
         return list(leaf_data) + [0] * (4 - len(leaf_data))
-    return pos.hash_no_pad(leaf_data)
+    return hasher.hash_no_pad(leaf_data)
 
 
 def _build_levels(leaves: gf.GF, num_compress: int):

@@ -144,14 +144,37 @@ static void poseidon_permute(u64* state, u64* trace) {
     }
 }
 
+#include <thread>
+#include <vector>
+
+// run fn(lo, hi) over [0, n) split across hardware threads
+template <typename F>
+static void par_range(u64 n, F fn) {
+    unsigned hw = std::thread::hardware_concurrency();
+    int nt = hw ? (int)hw : 2;
+    if (n < 4096 || nt <= 1) { fn((u64)0, n); return; }
+    std::vector<std::thread> ts;
+    u64 per = (n + nt - 1) / nt;
+    for (int t = 0; t < nt; t++) {
+        u64 lo = t * per, hi = lo + per > n ? n : lo + per;
+        if (lo >= hi) break;
+        ts.emplace_back([=]() { fn(lo, hi); });
+    }
+    for (auto& th : ts) th.join();
+}
+
 extern "C" void permute_batch(u64* states, u64 n) {
-    for (u64 i = 0; i < n; i++) poseidon_permute(states + 12 * i, nullptr);
+    par_range(n, [&](u64 lo, u64 hi) {
+        for (u64 i = lo; i < hi; i++) poseidon_permute(states + 12 * i, nullptr);
+    });
 }
 
 // trace layout per state: 106 u64 (full_0_1..3, partial[22], full_1_0..3)
 extern "C" void permute_batch_trace(u64* states, u64* traces, u64 n) {
-    for (u64 i = 0; i < n; i++)
-        poseidon_permute(states + 12 * i, traces + 106 * i);
+    par_range(n, [&](u64 lo, u64 hi) {
+        for (u64 i = lo; i < hi; i++)
+            poseidon_permute(states + 12 * i, traces + 106 * i);
+    });
 }
 
 // Challenger-style absorb (overwrite mode, rate 8) of a stream; state is
@@ -184,29 +207,33 @@ extern "C" void hash_no_pad(const u64* data, u64 n, u64* out4) {
 // two-to-one Merkle compression over n pairs: left (n,4), right (n,4)
 extern "C" void compress_batch(const u64* left, const u64* right, u64* out,
                                u64 n) {
-    for (u64 i = 0; i < n; i++) {
-        u64 state[12] = {0};
-        memcpy(state, left + 4 * i, 4 * sizeof(u64));
-        memcpy(state + 4, right + 4 * i, 4 * sizeof(u64));
-        poseidon_permute(state, nullptr);
-        memcpy(out + 4 * i, state, 4 * sizeof(u64));
-    }
+    par_range(n, [&](u64 lo, u64 hi) {
+        for (u64 i = lo; i < hi; i++) {
+            u64 state[12] = {0};
+            memcpy(state, left + 4 * i, 4 * sizeof(u64));
+            memcpy(state + 4, right + 4 * i, 4 * sizeof(u64));
+            poseidon_permute(state, nullptr);
+            memcpy(out + 4 * i, state, 4 * sizeof(u64));
+        }
+    });
 }
 
 // sponge-hash rows of a (n, width) matrix into (n, 4) digests; width > 4
 extern "C" void hash_leaves(const u64* leaves, u64 n, u64 width, u64* out) {
-    for (u64 i = 0; i < n; i++) {
-        const u64* row = leaves + i * width;
-        u64 state[12] = {0};
-        u64 j = 0;
-        while (j < width) {
-            u64 chunk = width - j < 8 ? width - j : 8;
-            for (u64 k = 0; k < chunk; k++) state[k] = row[j + k];
-            poseidon_permute(state, nullptr);
-            j += chunk;
+    par_range(n, [&](u64 lo, u64 hi) {
+        for (u64 i = lo; i < hi; i++) {
+            const u64* row = leaves + i * width;
+            u64 state[12] = {0};
+            u64 j = 0;
+            while (j < width) {
+                u64 chunk = width - j < 8 ? width - j : 8;
+                for (u64 k = 0; k < chunk; k++) state[k] = row[j + k];
+                poseidon_permute(state, nullptr);
+                j += chunk;
+            }
+            memcpy(out + 4 * i, state, 4 * sizeof(u64));
         }
-        memcpy(out + 4 * i, state, 4 * sizeof(u64));
-    }
+    });
 }
 
 // find the lowest nonce whose hash_no_pad([h0..h3, nonce]) first element

@@ -34,11 +34,31 @@ def _perm(log_n: int):
     return _PERM_CACHE[log_n]
 
 
+_FLAT_TWIDDLE_CACHE: dict = {}
+
+
+def _flat_twiddles(log_n: int, inverse: bool) -> np.ndarray:
+    key = (log_n, inverse)
+    if key not in _FLAT_TWIDDLE_CACHE:
+        _FLAT_TWIDDLE_CACHE[key] = np.concatenate(_twiddles(log_n, inverse))
+    return _FLAT_TWIDDLE_CACHE[key]
+
+
+# native C++ kernel takes over above this size (threaded, __int128 mul)
+_NATIVE_MIN_N = 1 << 10
+
+
 def _transform(x: np.ndarray, inverse: bool) -> np.ndarray:
     n = x.shape[-1]
     log_n = log2_strict(n)
     if n == 1:
         return x.copy()
+    from ..native import ntt_native
+
+    if ntt_native.available and n >= _NATIVE_MIN_N:
+        return ntt_native.ntt_batch(
+            np.asarray(x, dtype=np.uint64), _flat_twiddles(log_n, inverse)
+        )
     batch_shape = x.shape[:-1]
     x = np.take(x, _perm(log_n), axis=-1)
     tw = _twiddles(log_n, inverse)

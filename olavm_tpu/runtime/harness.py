@@ -21,9 +21,18 @@ def encode_addr(addr) -> str:
 
 
 def run_program_full(asm_path: str, calldata=None, account_tree=None,
-                     callee=CALLEE, caller=CALLER, callee_exe=CALLEE_EXE):
-    """Full pipeline: returns (process, program, account_tree)."""
-    bp = encode_asm_from_json_file(asm_path)
+                     callee=CALLEE, caller=CALLER, callee_exe=CALLEE_EXE,
+                     from_binary: bool = False):
+    """Full pipeline: returns (process, program, account_tree).
+
+    from_binary: asm_path is an already-assembled BinaryProgram JSON
+    (the `ola run` input format, client/src/main.rs:90-95)."""
+    if from_binary:
+        from ..isa.binary_program import BinaryProgram
+
+        bp = BinaryProgram.load_file(asm_path)
+    else:
+        bp = encode_asm_from_json_file(asm_path)
     program = Program.from_binary_program(bp)
     code = [int(w, 16) for w in program.instructions]
     code_hash = tuple(pos.hash_no_pad(code))

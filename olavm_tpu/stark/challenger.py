@@ -67,13 +67,18 @@ class Challenger:
         for e in elements:
             self.observe_extension_element(e)
 
-    def observe_hash(self, hash4):
-        self.observe_elements(int(x) for x in hash4)
+    def observe_hash(self, hash4, hasher=None):
+        """Absorb a digest; for byte hashers this is BytesHash::to_vec
+        (7-byte chunks -> 5 elements), for Poseidon the 4 elements."""
+        if hasher is None:
+            self.observe_elements(int(x) for x in hash4)
+        else:
+            self.observe_elements(hasher.digest_to_fields(hash4))
 
-    def observe_cap(self, cap):
-        """cap: (n, 4) array or list of 4-elements digests."""
+    def observe_cap(self, cap, hasher=None):
+        """cap: (n, 4) array or list of 4-element digests."""
         for digest in cap:
-            self.observe_hash(digest)
+            self.observe_hash(digest, hasher)
 
     def get_challenge(self) -> int:
         if self.input_buffer or not self.output_buffer:

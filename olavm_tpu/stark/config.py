@@ -32,7 +32,16 @@ class StarkConfig:
     security_bits: int = 100
     num_challenges: int = 2
     fri_config: FriConfig = dfield(default_factory=FriConfig)
+    # Merkle cap hasher: "blake3" (the reference bench/test config,
+    # Blake3GoldilocksConfig) or "poseidon" (PoseidonGoldilocksConfig).
+    # The Fiat-Shamir challenger is always the Poseidon duplex sponge.
+    merkle_hasher: str = "blake3"
 
     @staticmethod
     def standard_fast_config() -> "StarkConfig":
         return StarkConfig()
+
+    def hasher(self):
+        from ..hash.hashers import by_name
+
+        return by_name(self.merkle_hasher)

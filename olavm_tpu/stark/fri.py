@@ -67,7 +67,7 @@ def flatten_ext(chunk) -> list[int]:
 
 def fri_proof(initial_oracles, final_poly_coeffs: np.ndarray,
               lde_values: np.ndarray, challenger, config,
-              degree_bits: int) -> FriProof:
+              degree_bits: int, hasher=None) -> FriProof:
     """initial_oracles: PolynomialBatch list. final_poly_coeffs: (n, 2)
     padded to LDE size; lde_values: (n, 2) evaluations over the coset."""
     n = lde_values.shape[0]
@@ -85,8 +85,8 @@ def fri_proof(initial_oracles, final_poly_coeffs: np.ndarray,
         perm = bit_reversal_perm(values.shape[0])
         values = values[perm]
         leaves = np.ascontiguousarray(values.reshape(-1, arity * 2))
-        tree = MerkleTree.build(leaves, config.cap_height)
-        challenger.observe_cap(tree.cap)
+        tree = MerkleTree.build(leaves, config.cap_height, hasher=hasher)
+        challenger.observe_cap(tree.cap, hasher)
         trees.append(tree)
         tree_leaves.append(leaves)
 
@@ -164,31 +164,31 @@ def pow_response(current_hash: list[int], witness: int) -> int:
 
 
 def _reduce_with_alpha(values, alpha):
-    """sum_i values[i] * alpha^i over extension values."""
-    acc = ge.from_base(0)
+    """sum_i values[i] * alpha^i over extension values (int-tuple path)."""
+    al = ge.t(alpha)
+    acc = (0, 0)
     for v in reversed(list(values)):
-        acc = ge.add(ge.mul(acc, alpha), np.asarray(v, dtype=np.uint64))
+        acc = ge.t_add(ge.t_mul(acc, al), ge.t(v))
     return acc
 
 
 def fri_combine_initial(instance: FriInstance, initial_proof: FriInitialTreeProof,
                         alpha, subgroup_x: int, reduced_openings):
-    """fri/verifier.rs:124-166."""
-    x = ge.from_base(subgroup_x)
-    sum_ = ge.from_base(0)
+    """fri/verifier.rs:124-166 (int-tuple path)."""
+    al = ge.t(alpha)
+    x = (int(subgroup_x), 0)
+    sum_ = (0, 0)
     for batch, reduced_opening in zip(instance.batches, reduced_openings):
         evals = [
-            ge.from_base(
-                int(initial_proof.evals_proofs[oi][0][pi])
-            )
+            (int(initial_proof.evals_proofs[oi][0][pi]), 0)
             for (oi, pi) in batch.polynomials
         ]
-        reduced_evals = _reduce_with_alpha(evals, alpha)
-        numerator = ge.sub(reduced_evals, reduced_opening)
-        denominator = ge.sub(x, np.asarray(batch.point, dtype=np.uint64))
-        sum_ = ge.mul(ge.exp_u64(alpha, len(evals)), sum_)
-        sum_ = ge.add(sum_, ge.mul(numerator, ge.inv(denominator)))
-    return ge.mul(sum_, x)
+        reduced_evals = _reduce_with_alpha(evals, al)
+        numerator = ge.t_sub(reduced_evals, ge.t(reduced_opening))
+        denominator = ge.t_sub(x, ge.t(batch.point))
+        sum_ = ge.t_mul(ge.t_exp(al, len(evals)), sum_)
+        sum_ = ge.t_add(sum_, ge.t_mul(numerator, ge.t_inv(denominator)))
+    return ge.t_mul(sum_, x)
 
 
 def compute_evaluation(x: int, x_index_within_coset: int, arity_bits: int,
@@ -197,27 +197,28 @@ def compute_evaluation(x: int, x_index_within_coset: int, arity_bits: int,
     arity = 1 << arity_bits
     g_a = g.primitive_root_of_unity(arity_bits)
     perm = bit_reversal_perm(arity)
-    evs = np.asarray(evals)[perm]
+    evs = [ge.t(e) for e in np.asarray(evals)[perm]]
     rev_x = reverse_bits(x_index_within_coset, arity_bits)
     coset_start = g.mul(x, pow(g_a, arity - rev_x, g.P))
     xs = [g.mul(coset_start, pow(g_a, i, g.P)) for i in range(arity)]
+    bt = ge.t(beta)
     # Lagrange interpolation at beta (O(arity^2), arity <= 16)
-    result = ge.from_base(0)
+    result = (0, 0)
     for i in range(arity):
-        num = ge.from_base(1)
+        num = (1, 0)
         den = 1
         for j in range(arity):
             if i == j:
                 continue
-            num = ge.mul(num, ge.sub(beta, ge.from_base(xs[j])))
+            num = ge.t_mul(num, ge.t_sub(bt, (xs[j], 0)))
             den = g.mul(den, g.sub(xs[i], xs[j]))
-        result = ge.add(result, ge.mul(evs[i], ge.scalar_mul(num, g.inv(den))))
-    return result
+        result = ge.t_add(result, ge.t_mul(evs[i], ge.t_scalar(num, g.inv(den))))
+    return ge.t_arr(result)
 
 
 def verify_fri_proof(instance: FriInstance, openings_batches, fri_challenges,
                      initial_caps, proof: FriProof, degree_bits: int, config,
-                     oracle_num_polys: list[int]):
+                     oracle_num_polys: list[int], hasher=None):
     """openings_batches: list per batch of opened ext values (matching
     instance.batches order). fri_challenges: dict with alpha, betas,
     pow_response, query_indices."""
@@ -245,7 +246,8 @@ def verify_fri_proof(instance: FriInstance, openings_batches, fri_challenges,
         for o, (leaf, path) in enumerate(round_proof.initial_trees_proof.evals_proofs):
             if len(leaf) != oracle_num_polys[o]:
                 raise ValueError(f"wrong FRI leaf width for oracle {o}")
-            if not MerkleTree.verify(leaf, x_index, initial_caps[o], path):
+            if not MerkleTree.verify(leaf, x_index, initial_caps[o], path,
+                                     hasher=hasher):
                 raise ValueError(f"FRI initial tree proof invalid (oracle {o})")
 
         subgroup_x = g.mul(
@@ -263,7 +265,7 @@ def verify_fri_proof(instance: FriInstance, openings_batches, fri_challenges,
             evals = round_proof.steps[i].evals
             coset_index = xi >> arity_bits
             within = xi & (arity - 1)
-            if not np.array_equal(np.asarray(old_eval), evals[within]):
+            if ge.t(old_eval) != ge.t(evals[within]):
                 raise ValueError("FRI consistency check failed")
             old_eval = compute_evaluation(
                 subgroup_x, within, arity_bits, evals, betas[i]
@@ -272,11 +274,12 @@ def verify_fri_proof(instance: FriInstance, openings_batches, fri_challenges,
                 flatten_ext(evals), coset_index,
                 proof.commit_phase_merkle_caps[i],
                 round_proof.steps[i].merkle_proof,
+                hasher=hasher,
             ):
                 raise ValueError("FRI commit-phase Merkle proof invalid")
             subgroup_x = pow(subgroup_x, arity, g.P)
             xi = coset_index
 
         final_eval = ext_poly_eval(proof.final_poly, ge.from_base(subgroup_x))
-        if not np.array_equal(np.asarray(old_eval), final_eval):
+        if ge.t(old_eval) != ge.t(final_eval):
             raise ValueError("FRI final polynomial mismatch")

@@ -30,21 +30,21 @@ class PolynomialBatch:
         return self.merkle_tree.cap
 
     @staticmethod
-    def from_values(values: np.ndarray, rate_bits: int, cap_height: int
-                    ) -> "PolynomialBatch":
+    def from_values(values: np.ndarray, rate_bits: int, cap_height: int,
+                    hasher=None) -> "PolynomialBatch":
         """values: (num_polys, degree) row-major trace columns."""
         coeffs = ntt.intt(np.asarray(values, dtype=np.uint64))
-        return PolynomialBatch.from_coeffs(coeffs, rate_bits, cap_height)
+        return PolynomialBatch.from_coeffs(coeffs, rate_bits, cap_height, hasher)
 
     @staticmethod
-    def from_coeffs(coeffs: np.ndarray, rate_bits: int, cap_height: int
-                    ) -> "PolynomialBatch":
+    def from_coeffs(coeffs: np.ndarray, rate_bits: int, cap_height: int,
+                    hasher=None) -> "PolynomialBatch":
         num_polys, degree = coeffs.shape
         lde = ntt.coset_lde(coeffs, rate_bits)  # (num_polys, degree<<rate)
         leaves = lde.T  # (size, num_polys)
         perm = bit_reversal_perm(leaves.shape[0])
         leaves = leaves[perm]
-        tree = MerkleTree.build(leaves, cap_height)
+        tree = MerkleTree.build(leaves, cap_height, hasher=hasher)
         return PolynomialBatch(
             coeffs, leaves, tree, log2_strict(degree), rate_bits
         )

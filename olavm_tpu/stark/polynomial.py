@@ -36,6 +36,12 @@ def eval_ext_many(coeff_matrix: np.ndarray, z) -> np.ndarray:
     """
     k, n = coeff_matrix.shape
     zpow = ext_powers_block(z, n)  # (n, 2)
+    nat = g._native()
+    if nat is not None and coeff_matrix.size >= 1 << 12:
+        out = np.zeros((k, 2), dtype=np.uint64)
+        out[:, 0] = nat.dot_rows(coeff_matrix, np.ascontiguousarray(zpow[:, 0]))
+        out[:, 1] = nat.dot_rows(coeff_matrix, np.ascontiguousarray(zpow[:, 1]))
+        return out
     # sum over i of c[k,i] * zpow[i], componentwise scalar mul
     out = np.zeros((k, 2), dtype=np.uint64)
     chunk = max(1, (1 << 22) // max(k, 1))
@@ -54,6 +60,9 @@ def eval_base_many(coeff_matrix: np.ndarray, z: int) -> np.ndarray:
     """Evaluate many base polynomials (k, n) at base point z. Returns (k,)."""
     k, n = coeff_matrix.shape
     zpow = g.powers(z, n)
+    nat = g._native()
+    if nat is not None and coeff_matrix.size >= 1 << 12:
+        return nat.dot_rows(coeff_matrix, zpow)
     prods = g.mul_arr(coeff_matrix, zpow[None, :])
     return g.sum_mod(prods, axis=1)
 

@@ -74,15 +74,16 @@ def prove_with_traces(ola_stark, config: StarkConfig,
     rate_bits = config.fri_config.rate_bits
     cap_height = config.fri_config.cap_height
 
+    hasher = config.hasher()
     with timing.scope("compute trace commitments"):
         trace_commitments = [
-            PolynomialBatch.from_values(t, rate_bits, cap_height)
+            PolynomialBatch.from_values(t, rate_bits, cap_height, hasher)
             for t in trace_poly_values
         ]
 
     challenger = Challenger()
     for c in trace_commitments:
-        challenger.observe_cap(c.cap)
+        challenger.observe_cap(c.cap, hasher)
 
     with timing.scope("cross_table_lookup_data"):
         ctl_data_per_table = cross_table_lookup_data(
@@ -113,6 +114,7 @@ def prove_single_table(stark, config, trace_values, trace_commitment,
     degree_bits = log2_strict(degree)
     rate_bits = config.fri_config.rate_bits
     cap_height = config.fri_config.cap_height
+    hasher = config.hasher()
     total_arities = sum(config.fri_config.reduction_arity_bits(degree_bits))
     assert total_arities <= degree_bits + rate_bits - cap_height, (
         "FRI total reduction arity too large"
@@ -138,9 +140,9 @@ def prove_single_table(stark, config, trace_values, trace_commitment,
 
     with timing.scope("Z commitment"):
         permutation_ctl_zs_commitment = PolynomialBatch.from_values(
-            np.stack(z_polys), rate_bits, cap_height
+            np.stack(z_polys), rate_bits, cap_height, hasher
         )
-    challenger.observe_cap(permutation_ctl_zs_commitment.cap)
+    challenger.observe_cap(permutation_ctl_zs_commitment.cap, hasher)
 
     alphas = challenger.get_n_challenges(config.num_challenges)
 
@@ -159,9 +161,9 @@ def prove_single_table(stark, config, trace_values, trace_commitment,
 
     with timing.scope("quotient commitment"):
         quotient_commitment = PolynomialBatch.from_coeffs(
-            quotient_chunks, rate_bits, cap_height
+            quotient_chunks, rate_bits, cap_height, hasher
         )
-    challenger.observe_cap(quotient_commitment.cap)
+    challenger.observe_cap(quotient_commitment.cap, hasher)
 
     zeta = challenger.get_extension_challenge()
     if ge.is_one(ge.exp_pow2(zeta, degree_bits)):
@@ -199,7 +201,7 @@ def prove_single_table(stark, config, trace_values, trace_commitment,
         opening_proof = prove_openings(
             instance,
             [trace_commitment, permutation_ctl_zs_commitment, quotient_commitment],
-            challenger, config, degree_bits,
+            challenger, config, degree_bits, hasher,
         )
 
     return StarkProof(
@@ -212,7 +214,7 @@ def prove_single_table(stark, config, trace_values, trace_commitment,
 
 
 def prove_openings(instance: FriInstance, oracles, challenger, config,
-                   degree_bits: int):
+                   degree_bits: int, hasher=None):
     """PolynomialBatch::prove_openings (fri/oracle.rs:167-243)."""
     alpha = challenger.get_extension_challenge()
     final_poly = None  # (n, 2)
@@ -251,7 +253,8 @@ def prove_openings(instance: FriInstance, oracles, challenger, config,
     padded[: final_poly.shape[0]] = final_poly
     lde_values = ext_coset_fft(padded, g.MULTIPLICATIVE_GROUP_GENERATOR)
     return fri_proof(
-        oracles, padded, lde_values, challenger, config.fri_config, degree_bits
+        oracles, padded, lde_values, challenger, config.fri_config,
+        degree_bits, hasher,
     )
 
 

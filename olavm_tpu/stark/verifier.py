@@ -33,6 +33,7 @@ class VerificationError(Exception):
 def get_proof_challenges(stark, proof: StarkProof, challenger: Challenger,
                          config, degree_bits: int):
     """Per-table challenge replay (get_challenges.rs)."""
+    hasher = config.hasher()
     challenges = {}
     challenger.compact()
     if stark.uses_permutation_args():
@@ -41,9 +42,9 @@ def get_proof_challenges(stark, proof: StarkProof, challenger: Challenger,
         )
     else:
         challenges["permutation"] = None
-    challenger.observe_cap(proof.permutation_ctl_zs_cap)
+    challenger.observe_cap(proof.permutation_ctl_zs_cap, hasher)
     challenges["alphas"] = challenger.get_n_challenges(config.num_challenges)
-    challenger.observe_cap(proof.quotient_polys_cap)
+    challenger.observe_cap(proof.quotient_polys_cap, hasher)
     challenges["zeta"] = challenger.get_extension_challenge()
     for batch in proof.openings.to_fri_openings():
         challenger.observe_extension_elements(batch)
@@ -52,7 +53,7 @@ def get_proof_challenges(stark, proof: StarkProof, challenger: Challenger,
     fri["alpha"] = challenger.get_extension_challenge()
     betas = []
     for cap in proof.opening_proof.commit_phase_merkle_caps:
-        challenger.observe_cap(cap)
+        challenger.observe_cap(cap, hasher)
         betas.append(challenger.get_extension_challenge())
     fri["betas"] = betas
     for c in proof.opening_proof.final_poly:
@@ -75,8 +76,9 @@ def verify_proof(ola_stark, all_proof: AllProof, config) -> None:
 
     # replay shared transcript: trace caps -> CTL challenges
     challenger = Challenger()
+    hasher = config.hasher()
     for p in all_proof.stark_proofs:
-        challenger.observe_cap(p.trace_cap)
+        challenger.observe_cap(p.trace_cap, hasher)
     ctl_challenges = get_grand_product_challenge_set(
         challenger, config.num_challenges
     )
@@ -190,4 +192,5 @@ def verify_stark_proof_with_challenges(stark, proof: StarkProof, challenges,
             num_perm + len(ctl_vars),
             stark.num_quotient_polys(config),
         ],
+        hasher=config.hasher(),
     )

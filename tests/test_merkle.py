@@ -4,6 +4,7 @@ import numpy as np
 
 from olavm_tpu.field import goldilocks as g
 from olavm_tpu.hash import poseidon as pos
+from olavm_tpu.hash.hashers import POSEIDON
 from olavm_tpu.merkle.tree import MerkleTree, _leaf_digest_host
 
 
@@ -16,7 +17,7 @@ def test_build_matches_host():
     leaves = _rand_leaves(8, 7, 1)
     t = MerkleTree.build(leaves, cap_height=0)
     # host recompute
-    digs = [_leaf_digest_host([int(v) for v in row]) for row in leaves]
+    digs = [_leaf_digest_host([int(v) for v in row], POSEIDON) for row in leaves]
     while len(digs) > 1:
         digs = [pos.two_to_one(digs[i], digs[i + 1]) for i in range(0, len(digs), 2)]
     assert [int(v) for v in t.cap[0]] == digs[0]

@@ -1,0 +1,46 @@
+"""Canonical correctness gate: assemble -> execute -> SMT block-process ->
+generate all 12 traces -> prove_with_traces -> verify_proof, mirroring the
+reference e2e tests (circuits/src/stark/ola_stark.rs:690-817)."""
+
+import numpy as np
+import pytest
+
+from olavm_tpu.runtime.harness import run_program_full
+from olavm_tpu.stark.config import StarkConfig
+from olavm_tpu.stark.prover import prove_with_traces
+from olavm_tpu.stark.proof import PublicValues
+from olavm_tpu.stark.verifier import VerificationError, verify_proof
+from olavm_tpu.tables.ola_stark import OlaStark, generate_traces
+
+ASM_DIR = "/root/reference/assembler/test_data/asm"
+
+
+def prove_program(name, calldata=None):
+    process, program, tree = run_program_full(f"{ASM_DIR}/{name}", calldata)
+    ola = OlaStark()
+    traces = generate_traces(program, ola)
+    config = StarkConfig.standard_fast_config()
+    pre, post = program.trace.start_end_roots
+    pv = PublicValues(tuple(pre), tuple(post), 0)
+    proof = prove_with_traces(ola, config, traces, public_values=pv)
+    return ola, proof, config
+
+
+@pytest.mark.parametrize(
+    "name,calldata",
+    [
+        ("fibo_loop.json", [10, 1, 2, 1015130275]),
+        ("storage_u32.json", [0, 2364819430]),
+    ],
+    ids=lambda v: v if isinstance(v, str) else "",
+)
+def test_prove_verify_e2e(name, calldata):
+    ola, proof, config = prove_program(name, calldata)
+    verify_proof(ola, proof, config)  # should not raise
+
+
+def test_tampered_e2e_proof_rejected():
+    ola, proof, config = prove_program("fibo_loop.json", [10, 1, 2, 1015130275])
+    proof.stark_proofs[0].openings.local_values[3][0] ^= np.uint64(1)
+    with pytest.raises((VerificationError, ValueError)):
+        verify_proof(ola, proof, config)
