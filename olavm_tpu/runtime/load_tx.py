@@ -66,6 +66,12 @@ def init_tape(process, calldata, caller_exe_addr, callee_addr, callee_exe_addr,
 
 def append_caller_callee_addr(process, caller_exe_addr, callee_code_addr,
                               callee_exe_addr):
-    _load_fields(process, caller_exe_addr)
-    _load_fields(process, callee_code_addr)
-    _load_fields(process, callee_exe_addr)
+    """12 address words appended at an sccall (load_tx.rs:138-148). Written
+    with the SCCALL opcode and filter_looked=1 so the cpu->tape CTL rows
+    emitted by the sccall ext line balance (see ola_stark ctl_cpu_tape)."""
+    from ..isa.opcodes import Opcode
+
+    op = 1 << Opcode.SCCALL.shift
+    for v in list(caller_exe_addr) + list(callee_code_addr) + list(callee_exe_addr):
+        process.tape.write(process.tp, 0, op, 0, 1, int(v))
+        process.tp += 1

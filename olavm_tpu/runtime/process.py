@@ -816,12 +816,14 @@ class Process:
         callee = tuple(
             self._mem_read(mem_base + i, Opcode.SCCALL) for i in range(4)
         )
+        tp_status = self.tp  # tape offset the ext line's CTL view points at
         if op1_value == 1:
-            append_caller_callee_addr(self, self.addr_storage, callee, self.addr_storage)
+            callee_exe = self.addr_storage
         elif op1_value == 0:
-            append_caller_callee_addr(self, self.addr_storage, callee, callee)
+            callee_exe = callee
         else:
             raise ProcessorError("sccall op1 must be 0 or 1")
+        append_caller_callee_addr(self, self.addr_storage, callee, callee_exe)
 
         if not program.pre_exe_flag:
             program.trace.sc_call.append(
@@ -829,7 +831,10 @@ class Process:
                     caller_env_idx=self.env_idx,
                     addr_storage=self.addr_storage,
                     addr_code=self.addr_code,
-                    caller_op1_imm=self.register_selector.op1,
+                    # the cpu ext line's OP1_IMM flag (the CTL view reads COL_OP1_IMM;
+                    # the reference stores the op1 VALUE here which breaks its
+                    # own cpu<->sccall lookup for op1=0 calls)
+                    caller_op1_imm=self.op1_imm,
                     clk_caller_call=self.clk,
                     clk_caller_ret=self.clk + 1,
                     regs=tuple(regs_status),
@@ -840,7 +845,7 @@ class Process:
             program.trace.exec.append(
                 Step(
                     env_idx=self.env_idx, call_sc_cnt=self.call_sc_cnt,
-                    clk=self.clk, pc=pc_status, tp=self.tp,
+                    clk=self.clk, pc=pc_status, tp=tp_status,
                     addr_storage=ctx_regs, addr_code=ctx_code,
                     instruction=self.instruction,
                     immediate_data=self.immediate_data, opcode=self.opcode,
@@ -850,14 +855,26 @@ class Process:
                     storage_access_idx=self.storage_access_idx,
                 )
             )
+            # Ext line layout is dictated by the CTL views that read it
+            # (ola_stark.rs:146-202 + ctl_cpu_tape): op0/dst/aux0/aux1 carry
+            # the four memory addresses of the callee-address read; addr_code
+            # carries the callee code address (= the read values); addr_storage
+            # carries the callee storage-context address; op0_reg_sel[0..8]
+            # carries the CALLER's (addr_storage, addr_code); tp is the tape
+            # offset BEFORE the 12 appended address words.
             sel = RegisterSelector()
             sel.op0_reg_sel[0:TREE_VALUE_LEN] = list(ctx_regs)
             sel.op0_reg_sel[TREE_VALUE_LEN : 2 * TREE_VALUE_LEN] = list(ctx_code)
+            sel.op0 = mem_base
+            sel.dst = mem_base + 1
+            sel.aux0 = mem_base + 2
+            sel.aux1 = mem_base + 3
+            sel.op1 = op1_value
             program.trace.exec.append(
                 Step(
                     env_idx=self.env_idx, call_sc_cnt=self.call_sc_cnt,
-                    clk=self.clk, pc=pc_status, tp=self.tp,
-                    addr_storage=self.addr_storage, addr_code=self.addr_code,
+                    clk=self.clk, pc=pc_status, tp=tp_status,
+                    addr_storage=callee_exe, addr_code=callee,
                     instruction=self.instruction,
                     immediate_data=self.immediate_data, opcode=self.opcode,
                     op1_imm=self.op1_imm, regs=tuple(regs_status),
@@ -982,7 +999,8 @@ class Process:
         if tx_cache is None:
             tx_cache = {}
         n_words = len(program.instructions)
-        if not program.trace.raw_binary_instructions:
+        fresh_program = not program.trace.raw_binary_instructions
+        if fresh_program:
             self.execute_decode(program)
             # heap pointer init cell
             self.memory.write(
@@ -991,8 +1009,10 @@ class Process:
             )
         assert len(program.trace.raw_binary_instructions) == n_words
 
-        # program-hash sponge rows (one PoseidonRow per rate-8 chunk)
-        words = [int(s, 16) for s in program.instructions]
+        # program-hash sponge rows (one PoseidonRow per rate-8 chunk); only
+        # on the first execute of this program (a resumed caller after an
+        # sccall return must not re-hash, zk-vm/src/lib.rs:404 get_code=false)
+        words = [int(s, 16) for s in program.instructions] if fresh_program else []
         from ..hash.poseidon import _native
 
         native = _native()

@@ -139,9 +139,12 @@ def cross_table_lookup_data(config, trace_poly_values: list[np.ndarray],
             prod_looking = 1
             for z in zs_looking:
                 prod_looking = g.mul(prod_looking, int(z[-1]))
-            assert prod_looking == int(z_looked[-1]), (
-                "CTL product mismatch (trace inconsistency)"
-            )
+            if prod_looking != int(z_looked[-1]):
+                idx = cross_table_lookups.index(ctl)
+                raise AssertionError(
+                    f"CTL #{idx} product mismatch (trace inconsistency):\n"
+                    + debug_ctl_mismatch(trace_poly_values, ctl)
+                )
             for t, z in zip(ctl.looking_tables, zs_looking):
                 ctl_data_per_table[t.table].zs_columns.append(
                     CtlZData(z, challenge, t.columns, t.filter_column)
@@ -230,3 +233,46 @@ def verify_cross_table_lookups(cross_table_lookups, ctl_zs_lasts: list[list[int]
                 raise ValueError("cross-table lookup verification failed")
     for it in iters:
         assert next(it, None) is None
+
+
+def ctl_rows(trace: np.ndarray, twc: TableWithColumns) -> list[tuple]:
+    """Filtered (filter==1) rows of a CTL view as value tuples — the
+    reference's ctl_test printers (circuits/src/generation/ctl_test/)."""
+    degree = trace.shape[1]
+    if twc.filter_column is not None:
+        filt = twc.filter_column.eval_table(trace)
+    else:
+        filt = np.ones(degree, dtype=np.uint64)
+    evals = [col.eval_table(trace) for col in twc.columns]
+    out = []
+    for r in range(degree):
+        if int(filt[r]) == 1:
+            out.append(tuple(int(e[r]) for e in evals))
+    return out
+
+
+def debug_ctl_mismatch(trace_poly_values, ctl: CrossTableLookup,
+                       max_print: int = 8) -> str:
+    """Multiset-diff the looking vs looked rows of one CTL."""
+    from collections import Counter
+
+    looking = Counter()
+    for t in ctl.looking_tables:
+        looking.update(ctl_rows(trace_poly_values[t.table], t))
+    looked = Counter(
+        ctl_rows(trace_poly_values[ctl.looked_table.table], ctl.looked_table)
+    )
+    only_looking = looking - looked
+    only_looked = looked - looking
+    lines = [
+        f"  looking rows: {sum(looking.values())}, looked rows: "
+        f"{sum(looked.values())}",
+    ]
+    for name, c in (("only-in-looking", only_looking),
+                    ("only-in-looked", only_looked)):
+        for row, cnt in list(c.items())[:max_print]:
+            lines.append(f"  {name} x{cnt}: {row}")
+        extra = len(c) - max_print
+        if extra > 0:
+            lines.append(f"  {name}: ... {extra} more distinct rows")
+    return "\n".join(lines)

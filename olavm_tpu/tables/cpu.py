@@ -132,10 +132,18 @@ def generate_cpu_trace(steps) -> np.ndarray:
         sel = _OPCODE_TO_SELECTOR.get(s.opcode)
         if sel is not None:
             tr[sel][i] = 1
-        tr[COL_IS_ENTRY_SC][i] = 1 if s.env_idx == 0 else 0
+        # entry flag feeds END's ext_length (cpu_stark.rs:842-848): the env-0
+        # END main line has no ext line; a callee-return END ext line (env
+        # patched to the caller's 0) must still count ext_length 1.
+        tr[COL_IS_ENTRY_SC][i] = (
+            1 if (s.env_idx == 0
+                  and not (s.opcode == Opcode.END.mask and s.is_ext_line == 1))
+            else 0
+        )
 
         if s.opcode in (Opcode.SLOAD.mask, Opcode.SSTORE.mask, Opcode.SCCALL.mask) or (
-            s.opcode == Opcode.END.mask and s.env_idx != 0
+            s.opcode == Opcode.END.mask
+            and (s.env_idx != 0 or s.is_ext_line == 1)
         ):
             ext_length = 1
         elif s.opcode == Opcode.TLOAD.mask:
@@ -146,7 +154,8 @@ def generate_cpu_trace(steps) -> np.ndarray:
             ext_length = 0
         tr[COL_IS_NEXT_LINE_DIFF_INST][i] = 1 if ext_length == s.ext_cnt else 0
         tr[COL_IS_NEXT_LINE_SAME_TX][i] = (
-            0 if (s.env_idx == 0 and s.opcode == Opcode.END.mask) else 1
+            0 if (s.env_idx == 0 and s.opcode == Opcode.END.mask
+                  and s.is_ext_line == 0) else 1
         )
         tr[COL_FILTER_TAPE_LOOKING][i] = s.filter_tape_looking
         tr[IS_SCCALL_EXT_LINE][i] = (
@@ -229,7 +238,7 @@ class CpuStark(Stark):
         d = F.sub(nv_is_padding, lv_is_padding)
         c.constraint_transition(m(d, F.sub(d, one)))
         c.constraint(m(lv_is_padding, F.sub(lv[COL_S_END], one)))
-        c.constraint(m(lv_is_entry_sc, nv[COL_ENV_IDX]))
+        c.constraint(m(lv_is_entry_sc, F.sub(one, lv_is_entry_sc)))
         c.constraint(
             m(F.sub(one, nv_is_padding), is_in_same_tx,
               F.sub(nv[COL_TX_IDX], lv[COL_TX_IDX]))
@@ -316,9 +325,12 @@ class CpuStark(Stark):
             m(lv[COL_S_CALL_SC], F.sub(one, is_crossing_inst),
               F.sub(nv[COL_CALL_SC_CNT], lv[COL_CALL_SC_CNT]))
         )
+        # callee env = caller's call_sc_cnt + 1 (= nv[COL_CALL_SC_CNT]);
+        # the reference writes nv_env - lv_cnt (cpu_stark.rs:433-437) which
+        # contradicts its own executor numbering (env = global sc counter)
         c.constraint(
             m(lv[COL_S_CALL_SC], is_crossing_inst,
-              F.sub(nv[COL_ENV_IDX], lv[COL_CALL_SC_CNT]))
+              F.sub(F.sub(nv[COL_ENV_IDX], lv[COL_CALL_SC_CNT]), one))
         )
         c.constraint(
             m(F.sub(F.sub(one, lv[COL_S_CALL_SC]), lv[COL_S_END]),
@@ -619,9 +631,16 @@ class CpuStark(Stark):
         c.constraint(
             m(lv[COL_S_TLOAD], not_ext, F.sub(lv[COL_DST], nv[COL_AUX0]))
         )
+        # tp unchanged unless tstore last-ext, sccall ext crossing, or the
+        # row before an sccall main. The reference's sum guard
+        # (1 - lv_tstore - nv_call_sc) (cpu/tape.rs:97-101) is -1 when a
+        # tstore ext is immediately followed by an sccall and misses the
+        # sccall-ext -> callee (+12) jump; use a product guard instead.
         c.constraint(
             m(is_in_same_tx,
-              F.sub(F.sub(one, lv[COL_S_TSTORE]), nv[COL_S_CALL_SC]),
+              F.sub(one, lv[COL_S_TSTORE]),
+              F.sub(one, nv[COL_S_CALL_SC]),
+              F.sub(one, lv[COL_S_CALL_SC]),
               F.sub(nv[COL_TP], lv[COL_TP]))
         )
         c.constraint(
@@ -631,9 +650,11 @@ class CpuStark(Stark):
             m(lv[COL_S_TSTORE], F.sub(one, nv[COL_IS_EXT_LINE]),
               F.sub(F.sub(nv[COL_TP], lv[COL_S_OP0[0]]), one))
         )
+        # entering an sccall main line tp is unchanged — unless the previous
+        # instruction was a tstore whose last ext line advances tp
         c.constraint(
-            m(F.sub(one, lv[COL_S_CALL_SC]), nv[COL_S_CALL_SC],
-              F.sub(nv[COL_TP], lv[COL_TP]))
+            m(F.sub(one, lv[COL_S_CALL_SC]), F.sub(one, lv[COL_S_TSTORE]),
+              nv[COL_S_CALL_SC], F.sub(nv[COL_TP], lv[COL_TP]))
         )
         c.constraint(
             m(lv[COL_S_CALL_SC], not_ext, F.sub(nv[COL_TP], lv[COL_TP]))

@@ -86,7 +86,9 @@ def generate_memory_trace(cells) -> np.ndarray:
         tr[COL_MEM_RC_VALUE][i] = c.rc_value
         curr_is_heap = c.region_heap == 1
         last_is_not_heap = i > 0 and cells[i - 1].region_heap == 0
-        if i == 0 or c.region_prophet == 1 or (curr_is_heap and last_is_not_heap):
+        env_changed = i > 0 and cells[i - 1].env_idx != c.env_idx
+        if (i == 0 or env_changed or c.region_prophet == 1
+                or (curr_is_heap and last_is_not_heap)):
             tr[COL_MEM_FILTER_LOOKING_RC][i] = 0
         else:
             tr[COL_MEM_FILTER_LOOKING_RC][i] = 1

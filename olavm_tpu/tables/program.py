@@ -188,6 +188,8 @@ def generate_prog_chunk_trace(progs) -> np.ndarray:
     tr = np.zeros((NUM_PROG_CHUNK_COLS, ext), dtype=np.uint64)
     pre_hash = np.zeros(12, dtype=np.uint64)
     for i, (addr, start_pc, chunk, first, result) in enumerate(entries):
+        if first:  # sponge state resets per program
+            pre_hash = np.zeros(12, dtype=np.uint64)
         for j in range(4):
             tr[COL_PROG_CHUNK_CODE_ADDR[j]][i] = addr[j]
         tr[COL_PROG_CHUNK_START_PC][i] = start_pc

@@ -49,6 +49,18 @@ def run_program(name, calldata=None):
         ("range_check.json", None),
         ("fib_asm.json", [10, 1, 2, 4185064725]),
         ("sqrt_prophet_asm.json", [144, 10, 2, 3509365327]),
+        ("ptr_call.json", [0, 2657046596]),
+        ("context_fetch.json", [0, 3458276513]),
+        ("printf.json", [5, 111, 108, 97, 118, 109, 11, 12, 8, 3238128773]),
+        ("global.json", [0, 4171824493]),
+        # reference tape_test passes Some(empty) calldata (tests.rs:329-336)
+        ("tape.json", []),
+        # NOTE: sc_input.json, string_assert.json, prophet_sqrt.json and
+        # hash_asm.json in the reference asm fixtures are stale: they use a
+        # pre-address-appending tape ABI / two-operand `assert` that the
+        # CURRENT reference assembler+executor (asm.rs:185, load_tx.rs:110)
+        # reject as well. The reference tests read prebuilt bin/*.json files
+        # that are absent from its tree.
     ],
     ids=lambda v: v if isinstance(v, str) else "",
 )
@@ -86,3 +98,24 @@ def test_memory_table_sorted():
                 assert cur.diff_addr == cur.addr - prev.addr
         else:
             assert cur.diff_clk == cur.clk - prev.clk or cur.is_rw == 0
+
+
+@pytest.mark.parametrize(
+    "name,calldata",
+    [
+        ("storage.json", None),
+        ("storage_multi_keys.json", None),
+        ("poseidon.json", None),
+        ("vote.json", [3, 1, 2, 3, 4, 2817135588]),
+        ("ecdsa_asm.json", [0, 370402988]),
+    ],
+    ids=lambda v: v if isinstance(v, str) else "",
+)
+def test_run_program_with_storage(name, calldata):
+    """Programs using sstore/sload/poseidon need the SMT-backed harness
+    (reference executor/src/tests.rs storage/vote/poseidon/hash/ecdsa)."""
+    from olavm_tpu.runtime.harness import run_program_full
+
+    process, program, tree = run_program_full(f"{ASM_DIR}/{name}", calldata)
+    assert len(program.trace.exec) > 0
+    assert program.trace.exec[-1].opcode == 1 << 20  # END
