@@ -32,7 +32,10 @@ def cmd_run(args):
         raise SystemExit("args length must be larger than 2")
 
     t0 = time.time()
-    _, program, _ = run_program_full(args.input, calldata, from_binary=True)
+    _, program, _ = run_program_full(
+        args.input, calldata, from_binary=True,
+        dump_on_failure=args.output + ".dump.json",
+    )
     print(f"exec time: {int((time.time() - t0) * 1000)}ms")
 
     t0 = time.time()

@@ -22,7 +22,8 @@ def encode_addr(addr) -> str:
 
 def run_program_full(asm_path: str, calldata=None, account_tree=None,
                      callee=CALLEE, caller=CALLER, callee_exe=CALLEE_EXE,
-                     from_binary: bool = False):
+                     from_binary: bool = False,
+                     dump_on_failure: str | None = None):
     """Full pipeline: returns (process, program, account_tree).
 
     from_binary: asm_path is an already-assembled BinaryProgram JSON
@@ -58,7 +59,15 @@ def run_program_full(asm_path: str, calldata=None, account_tree=None,
         {"kind": "read", "key": callee_exe, "value": code_hash}
     )
 
-    process.execute(program, account_tree=account_tree)
+    try:
+        process.execute(program, account_tree=account_tree)
+    except Exception as e:
+        if dump_on_failure:
+            # crash dump for offline debugging (executor/src/trace.rs:416)
+            from .dump import gen_dump_file
+
+            gen_dump_file(process, program, dump_on_failure, error=e)
+        raise
 
     hash_roots = gen_storage_hash_table(process, program, account_tree)
     gen_storage_table(process, program, hash_roots)
