@@ -1,14 +1,18 @@
 """Headline benchmark: full OlaVM pipeline prove time (execute -> trace-gen ->
-12-table STARK prove) on the reference's fibonacci workload
-(/root/reference/circuits/benches/fibo_loop.rs:46,100).
+12-table STARK prove -> verify) on the reference's benchmark workloads
+(/root/reference/circuits/benches/fibo_loop.rs:30-46, sqrt_prophet.rs:92-111).
 
-Reference baseline (BASELINE.md / README.md:69): fib(47)x1000 -> 2^20 CPU rows,
-prove = 39.767 s on a 64-core Linux box. `vs_baseline` is reported as
-speedup = (reference seconds, scaled to our row count by n*log n) / (our
-seconds), so >1.0 means faster than the reference at the same work.
+Reference baseline (BASELINE.md / README.md:69): fib(47)x1000 -> 866,115 steps
+-> 2^20 CPU rows, prove = 39.767 s on a 64-core Linux box (Blake3 merkle
+caps, standard_fast_config). `vs_baseline` is the RAW speedup
+reference_seconds / our_seconds, reported only when we actually ran the
+reference's 2^20-row workload; smaller smoke-test sizes report 0.0.
 
-Env: OLAVM_BENCH_LOG_ROWS (default 16) picks the CPU-table size; at 20 this
-is exactly the reference benchmark.
+Env knobs:
+  OLAVM_BENCH_LOG_ROWS   target log2 CPU rows (default 20 on an accelerator,
+                         13 on CPU-only hosts — CPU mode is a smoke test)
+  OLAVM_BENCH_WORKLOAD   fib (default) | sqrt
+  OLAVM_BENCH_BACKEND    device (default on TPU) | host
 """
 
 import json
@@ -19,55 +23,91 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-REF_SECONDS = 39.767
+REF = {
+    # workload: (reference linux-64-core prove seconds, steps per rep, asm)
+    "fib": (39.767, 866115 / 1000,
+            "/root/reference/assembler/test_data/asm/fib_asm.json"),
+    "sqrt": (29.935, 544113 / 16000,
+             "/root/reference/circuits/benches/asm/sqrt_prophet_asm.json"),
+}
 REF_LOG_ROWS = 20
-ASM = "/root/reference/assembler/test_data/asm/fibo_loop.json"
+REF_REPS = {"fib": 1000, "sqrt": 16000}
 
 
 def main():
-    log_rows = int(os.environ.get("OLAVM_BENCH_LOG_ROWS", "16"))
+    import jax
+
+    on_accel = jax.default_backend() not in ("cpu",)
+    log_rows = int(os.environ.get(
+        "OLAVM_BENCH_LOG_ROWS", "20" if on_accel else "13"))
+    workload = os.environ.get("OLAVM_BENCH_WORKLOAD", "fib")
+    backend = os.environ.get(
+        "OLAVM_BENCH_BACKEND", "device" if on_accel else "host")
+    ref_seconds, steps_per_rep, asm = REF[workload]
 
     from olavm_tpu.runtime.harness import run_program_full
     from olavm_tpu.stark.config import StarkConfig
-    from olavm_tpu.stark.prover import prove_with_traces
     from olavm_tpu.stark.verifier import verify_proof
     from olavm_tpu.tables.ola_stark import OlaStark, generate_traces
 
-    # the reference workload runs fib(47) `times` times: 1000 reps -> 866,115
-    # cpu rows (README.md:69); scale reps to fill just under 2^log_rows.
-    times = max(1, int((1 << log_rows) * 1000 / 866115 * 0.99))
-    calldata = [47, times, 2, 4185064725]
+    # Scale reps to fill just under 2^log_rows cpu rows. At log_rows=20 this
+    # is exactly the reference benchmark (fib: times=1000 -> 866,115 steps).
+    if log_rows == REF_LOG_ROWS:
+        times = REF_REPS[workload]
+    else:
+        times = max(1, int((1 << log_rows) * 0.99 / steps_per_rep))
+    if workload == "fib":
+        calldata = [47, times, 2, 4185064725]
+    else:
+        calldata = [times, 2, 3509365327]  # sqrt_prophet.rs:97
 
     t0 = time.time()
-    process, program, tree = run_program_full(ASM, calldata)
+    process, program, tree = run_program_full(asm, calldata)
     t_exec = time.time() - t0
+    steps = len(program.trace.exec)
 
     ola = OlaStark()
     t0 = time.time()
     traces = generate_traces(program, ola)
     t_gen = time.time() - t0
 
+    rows = traces[0].shape[1]
+    actual_log = int(math.log2(rows))
+    if actual_log != log_rows:
+        print(
+            f"FATAL: benchmark built 2^{actual_log} cpu rows ({steps} steps), "
+            f"wanted 2^{log_rows} — wrong workload scaling",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
     config = StarkConfig.standard_fast_config()
     t0 = time.time()
-    proof = prove_with_traces(ola, config, traces)
+    if backend == "device":
+        from olavm_tpu.stark.prover_device import prove_with_traces_device
+
+        proof = prove_with_traces_device(ola, config, traces)
+    else:
+        from olavm_tpu.stark.prover import prove_with_traces
+
+        proof = prove_with_traces(ola, config, traces)
     t_prove = time.time() - t0
 
     verify_proof(ola, proof, config)
 
-    rows = traces[0].shape[1]
-    actual_log = int(math.log2(rows))
-    # n log n scaling of the reference number to our actual row count
-    ref_scaled = REF_SECONDS * (rows * actual_log) / ((1 << REF_LOG_ROWS) * REF_LOG_ROWS)
+    at_reference_scale = (actual_log == REF_LOG_ROWS and workload == "fib")
+    vs = round(ref_seconds / t_prove, 3) if at_reference_scale else 0.0
     print(
-        f"# exec={t_exec:.2f}s trace_gen={t_gen:.2f}s prove={t_prove:.2f}s "
-        f"cpu_rows=2^{actual_log} steps={len(program.trace.exec)}",
+        f"# workload={workload} backend={backend} exec={t_exec:.2f}s "
+        f"trace_gen={t_gen:.2f}s prove={t_prove:.2f}s cpu_rows=2^{actual_log} "
+        f"steps={steps}",
         file=sys.stderr,
     )
     print(json.dumps({
-        "metric": f"fibo_prove_2^{actual_log}_rows",
+        "metric": f"{workload}_prove_2^{actual_log}_rows",
         "value": round(t_prove, 3),
         "unit": "s",
-        "vs_baseline": round(ref_scaled / t_prove, 3),
+        "vs_baseline": vs,
     }))
 
 

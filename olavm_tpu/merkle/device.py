@@ -1,0 +1,128 @@
+"""Device-resident Merkle commitment kernels (jnp; run under jit on TPU).
+
+Replaces the reference's rayon digest tree
+(/root/reference/plonky2/plonky2/src/hash/merkle_tree/mod.rs:146-228) with
+fully batched level-by-level builds on the accelerator. Two hashers, matching
+the host configs in olavm_tpu.hash.hashers:
+
+- blake3 (Blake3GoldilocksConfig, the reference bench config): pure u32
+  VPU arithmetic, ideal for TPU lanes. A digest is 8 u32 word lanes.
+- poseidon (PoseidonGoldilocksConfig): field-native; digest = 4 GF lanes
+  stored as 8 u32 lanes (lo0,hi0,lo1,hi1,...).
+
+Layout: a batch of n leaves of C field elements is a gf.GF of shape (n, C)
+(or word-lane lists); digests are lists of 8 uint32 arrays of shape (n,).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import gf
+from ..hash import blake3 as b3
+from ..hash import poseidon as pos
+
+
+def _gf_cols_to_words(leaves: gf.GF) -> list:
+    """(n, C) GF -> 2C u32 lanes in little-endian u64 byte order."""
+    n, C = leaves.shape
+    words = []
+    for c in range(C):
+        words.append(leaves.lo[:, c])
+        words.append(leaves.hi[:, c])
+    return words
+
+
+def leaf_digests(leaves: gf.GF, hasher_kind: str) -> list:
+    """Hash (n, C) GF leaf rows -> 8 u32 digest lanes of shape (n,).
+
+    hash_or_noop semantics for <= 4 field elements (a short leaf is its own
+    zero-padded digest) apply to the poseidon config only; the byte hasher
+    treats 4 u64 = 32 bytes = digest size the same way (hashers.py noop_max).
+    """
+    n, C = leaves.shape
+    if C <= 4:
+        zero = jnp.zeros((n,), jnp.uint32)
+        out = []
+        for i in range(4):
+            out.append(leaves.lo[:, i] if i < C else zero)
+            out.append(leaves.hi[:, i] if i < C else zero)
+        return out
+    if hasher_kind == "blake3":
+        return b3.hash_words(jnp, _gf_cols_to_words(leaves))
+    # poseidon rate-8 overwrite sponge over the row
+    state = [gf.zeros((n,)) for _ in range(pos.WIDTH)]
+    for start in range(0, C, pos.RATE):
+        chunk = min(pos.RATE, C - start)
+        for i in range(chunk):
+            state[i] = leaves[:, start + i]
+        state = pos.permute_gf(state)
+    out = []
+    for d in state[:4]:
+        out.append(d.lo)
+        out.append(d.hi)
+    return out
+
+
+def word_digests(words: list, hasher_kind: str, byte_len: int | None = None) -> list:
+    """Hash word-lane leaves directly (no GF structure), e.g. FRI tree leaves
+    of flattened extension values. blake3 only needs the raw words; poseidon
+    reinterprets word pairs as field elements."""
+    if hasher_kind == "blake3":
+        return b3.hash_words(jnp, words, byte_len)
+    n = words[0].shape[0]
+    C = len(words) // 2
+    if C <= 4:
+        zero = jnp.zeros((n,), jnp.uint32)
+        return [words[i] if i < 2 * C else zero for i in range(8)]
+    state = [gf.zeros((n,)) for _ in range(pos.WIDTH)]
+    for start in range(0, C, pos.RATE):
+        chunk = min(pos.RATE, C - start)
+        for i in range(chunk):
+            state[i] = gf.GF(words[2 * (start + i)], words[2 * (start + i) + 1])
+        state = pos.permute_gf(state)
+    out = []
+    for d in state[:4]:
+        out.append(d.lo)
+        out.append(d.hi)
+    return out
+
+
+def compress_digests(left: list, right: list, hasher_kind: str) -> list:
+    """two_to_one over parallel digest lanes (8 u32 lanes each side)."""
+    if hasher_kind == "blake3":
+        return b3.two_to_one_words(jnp, left, right)
+    state = [gf.zeros(left[0].shape) for _ in range(pos.WIDTH)]
+    for i in range(4):
+        state[i] = gf.GF(left[2 * i], left[2 * i + 1])
+        state[4 + i] = gf.GF(right[2 * i], right[2 * i + 1])
+    state = pos.permute_gf(state)
+    out = []
+    for d in state[:4]:
+        out.append(d.lo)
+        out.append(d.hi)
+    return out
+
+
+def compress_level(digests: list, hasher_kind: str) -> list:
+    # reshape-based pairing rather than d[0::2]/d[1::2]: chained
+    # strided-slice -> hash graphs hit a pathological slow path in XLA:CPU
+    # (hours-long execution); the reshape form is fast on both backends
+    left = [d.reshape(-1, 2)[:, 0] for d in digests]
+    right = [d.reshape(-1, 2)[:, 1] for d in digests]
+    return compress_digests(left, right, hasher_kind)
+
+
+def build_levels(leaf_digs: list, num_compress: int, hasher_kind: str) -> list:
+    """leaf digests -> [leaf level, ..., cap level] (each 8 u32 lanes)."""
+    levels = [leaf_digs]
+    for _ in range(num_compress):
+        levels.append(compress_level(levels[-1], hasher_kind))
+    return levels
+
+
+def digests_to_u64_np(digs: list) -> np.ndarray:
+    """8 u32 lanes (n,) -> host (n, 4) u64 digest rows."""
+    arr = np.stack([np.asarray(d, dtype=np.uint32) for d in digs], axis=1)
+    return np.ascontiguousarray(arr).view(np.uint64).reshape(arr.shape[0], 4)

@@ -43,10 +43,18 @@ try:
 except Exception as _e:  # pragma: no cover
     import warnings
 
-    warnings.warn(f"native gl_blake3 unavailable: {_e}")
+    warnings.warn(
+        f"native gl_blake3 unavailable ({_e}); falling back to the "
+        "vectorized-numpy BLAKE3 (olavm_tpu.hash.blake3) — slower but "
+        "bit-identical"
+    )
 
 
 def blake3_hash(data: bytes) -> bytes:
+    if _lib is None:
+        from ..hash.blake3 import blake3_hash_np
+
+        return blake3_hash_np(data)
     buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data) if data else (
         ctypes.c_uint8 * 1)()
     out = (ctypes.c_uint8 * 32)()
@@ -56,6 +64,10 @@ def blake3_hash(data: bytes) -> bytes:
 
 def hash_leaves(leaves: np.ndarray) -> np.ndarray:
     """(n, width) u64 rows -> (n, 4) u64-word digests."""
+    if _lib is None:
+        from ..hash.blake3 import hash_leaves_np
+
+        return hash_leaves_np(leaves)
     leaves = np.ascontiguousarray(leaves, dtype=np.uint64)
     n, width = leaves.shape
     out = np.zeros((n, 4), dtype=np.uint64)
@@ -64,6 +76,10 @@ def hash_leaves(leaves: np.ndarray) -> np.ndarray:
 
 
 def compress_batch(left: np.ndarray, right: np.ndarray) -> np.ndarray:
+    if _lib is None:
+        from ..hash.blake3 import compress_batch_np
+
+        return compress_batch_np(left, right)
     left = np.ascontiguousarray(left, dtype=np.uint64)
     right = np.ascontiguousarray(right, dtype=np.uint64)
     n = left.shape[0]

@@ -36,7 +36,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..field import gf
 from ..field import goldilocks as g
-from ..merkle import tree as merkle
+from ..merkle import device as dmerkle
 from ..ntt import ntt as dntt
 from ..utils.bits import bit_reversal_perm, log2_strict
 
@@ -56,31 +56,24 @@ def make_mesh(n_devices: int | None = None, shape=None, axis_names=("col", "row"
 
 
 def commit_fn(mesh: Mesh, num_cols: int, degree_bits: int, rate_bits: int,
-              cap_height: int):
+              hasher_kind: str = "blake3"):
     """Returns a jittable sharded commit step:
     (lo, hi) of shape (num_cols, 2^degree_bits) trace VALUES ->
-    (cap_lo, cap_hi) of shape (2^cap_height, 4), plus the bit-reversed
-    leaves (row-sharded) for downstream quotient evaluation.
+    8 u32 leaf-digest lanes (row-sharded) + the bit-reversed LDE leaves
+    (row-sharded) for downstream Merkle reduction / quotient evaluation.
 
     Pipeline per device: local IFFT + coset-LDE over its column shard,
     local bit-reversal, ONE all-to-all transpose to row shards, local leaf
-    hashing, local subtree Merkle reduction, all-gather of the cap.
+    hashing. Tree levels are reduced by separate calls (compress_level_fn):
+    one-jit-per-level keeps XLA compiles linear (chained hash levels in one
+    graph blow up the XLA:CPU compiler exponentially).
     """
     n_dev = mesh.size
     axes = tuple(mesh.axis_names)
     lde_bits = degree_bits + rate_bits
     lde_n = 1 << lde_bits
     assert num_cols % n_dev == 0, "pad columns to a multiple of the mesh size"
-    assert cap_height >= log2_strict(n_dev), (
-        "cap must be at least one entry per device subtree"
-    )
-    assert lde_bits - log2_strict(n_dev) >= cap_height - log2_strict(n_dev)
     perm = jnp.asarray(bit_reversal_perm(lde_n))
-    # per-shard subtree: lde_n/n_dev leaves -> reduce to cap entries owned
-    # by this shard (2^cap_height / n_dev of them)
-    local_levels = (lde_bits - log2_strict(n_dev)) - (
-        cap_height - log2_strict(n_dev)
-    )
 
     def shard_step(lo, hi):
         # (num_cols/n_dev, n) local columns
@@ -97,54 +90,161 @@ def commit_fn(mesh: Mesh, num_cols: int, degree_bits: int, rate_bits: int,
         t_hi = jax.lax.all_to_all(lde.hi, axes, split_axis=1, concat_axis=0,
                                   tiled=True)
         leaves = gf.GF(t_lo.T, t_hi.T)                   # (lde_n/D, C)
-        digests = merkle.hash_leaves_gf(leaves)          # 4 lanes (lde_n/D,)
-        for _ in range(local_levels):
-            digests = merkle._compress_level(digests)
-        # (cap/D,) per lane -> all-gather the cap, replicated on all devices
-        cap_lo = jnp.stack([d.lo for d in digests], axis=-1)  # (cap/D, 4)
-        cap_hi = jnp.stack([d.hi for d in digests], axis=-1)
-        cap_lo = jax.lax.all_gather(cap_lo, axes, axis=0, tiled=True)
-        cap_hi = jax.lax.all_gather(cap_hi, axes, axis=0, tiled=True)
-        return cap_lo, cap_hi, t_lo.T, t_hi.T
+        digests = dmerkle.leaf_digests(leaves, hasher_kind)  # 8 u32 lanes
+        return tuple(digests) + (t_lo.T, t_hi.T)
 
     col_spec = P(axes, None)
     row_spec = P(axes, None)
+    vec_spec = P(axes)
     fn = shard_map(
         shard_step, mesh=mesh,
         in_specs=(col_spec, col_spec),
-        out_specs=(P(), P(), row_spec, row_spec),
+        out_specs=(vec_spec,) * 8 + (row_spec, row_spec),
         check_rep=False,
     )
     return fn
 
 
-def quotient_eval_fn(mesh: Mesh, eval_fn):
-    """Row-block-sharded constraint evaluation over coset points: applies a
-    vectorized AIR `eval_fn(local_cols, next_cols) -> list[GF]` to row-sharded
-    (R, C) windows and folds with a fixed alpha, multiplying by the Z_H
-    inverse column. Purely local per shard (no collectives)."""
+def compress_level_fn(mesh: Mesh, hasher_kind: str = "blake3"):
+    """One row-sharded Merkle tree level: (n,)-lane digests -> (n/2,).
+    Bit-reversed leaf order makes each device shard a contiguous subtree, so
+    pairing is device-local (no collectives) while n/n_dev >= 2."""
+    axes = tuple(mesh.axis_names)
+    vec_spec = P(axes)
+
+    def step(*digs):
+        return tuple(dmerkle.compress_level(list(digs), hasher_kind))
+
+    return shard_map(
+        step, mesh=mesh, in_specs=(vec_spec,) * 8, out_specs=(vec_spec,) * 8,
+        check_rep=False,
+    )
+
+
+def sharded_commit(mesh: Mesh, x: gf.GF, rate_bits: int, cap_height: int,
+                   hasher_kind: str = "blake3"):
+    """Host-driven sharded commit: returns (cap (2^cap_height, 8) u32 host
+    array, row-sharded bit-reversed leaves GF). One jit per phase/level."""
+    num_cols, n = x.shape
+    degree_bits = log2_strict(n)
+    lde_bits = degree_bits + rate_bits
+    n_dev = mesh.size
+    commit = commit_fn(mesh, num_cols, degree_bits, rate_bits, hasher_kind)
+    compress = compress_level_fn(mesh, hasher_kind)
+    with mesh:
+        out = jax.jit(commit)(x.lo, x.hi)
+        digs, leaves = list(out[:8]), gf.GF(out[8], out[9])
+        size = 1 << lde_bits
+        cfn = jax.jit(compress)
+        while size > (1 << cap_height) and size > 2 * n_dev:
+            digs = list(cfn(*digs))
+            size >>= 1
+        # finish tiny tail levels on host (native blake3 / poseidon)
+        cap = np.stack([np.asarray(d) for d in digs], axis=-1)
+        from ..hash.hashers import by_name
+
+        hasher = by_name(hasher_kind)
+        cap64 = np.ascontiguousarray(cap).view(np.uint64).reshape(size, 4)
+        while size > (1 << cap_height):
+            cap64 = hasher.compress(cap64[0::2], cap64[1::2])
+            size >>= 1
+    return cap64, leaves
+
+
+def quotient_eval_fn(mesh: Mesh, stark, alphas: list[int]):
+    """Row-block-sharded REAL constraint evaluation over coset points: runs
+    `stark.eval_packed` (the same per-table AIR code the single-chip prover
+    uses) through the GfOps device adapter on row-sharded (R, C) windows,
+    accumulating with the given alpha challenges and multiplying by the Z_H
+    inverse column. Purely local per shard (no collectives) — rows of the
+    evaluation coset are independent (reference prover.rs:571-660 par_iter).
+
+    Inputs to the returned fn (all row-sharded on the mesh):
+      local_lo/hi, next_lo/hi: (R, C) trace windows at x and g*x
+      zlast/lfirst/llast lo/hi: (R,) selector columns
+      zinv lo/hi: (R,) Z_H^{-1} on the coset
+    Returns len(alphas) accumulator columns' (lo, hi).
+    """
+    from ..stark.consumer import ConstraintConsumer
+    from ..stark.ops import GfOps
+
     axes = tuple(mesh.axis_names)
     spec = P(axes, None)
     vec_spec = P(axes)
 
-    def shard_step(local_lo, local_hi, next_lo, next_hi, zinv_lo, zinv_hi):
+    def shard_step(local_lo, local_hi, next_lo, next_hi,
+                   zlast_lo, zlast_hi, lf_lo, lf_hi, ll_lo, ll_hi,
+                   zinv_lo, zinv_hi):
         local = gf.GF(local_lo, local_hi)
         nxt = gf.GF(next_lo, next_hi)
-        zinv = gf.GF(zinv_lo, zinv_hi)
-        cs = eval_fn(
-            [gf.GF(local.lo[:, i], local.hi[:, i]) for i in range(local.lo.shape[1])],
-            [gf.GF(nxt.lo[:, i], nxt.hi[:, i]) for i in range(nxt.lo.shape[1])],
+        consumer = ConstraintConsumer(
+            GfOps,
+            [gf.full((), a) for a in alphas],
+            gf.GF(zlast_lo, zlast_hi),
+            gf.GF(lf_lo, lf_hi),
+            gf.GF(ll_lo, ll_hi),
         )
-        acc = gf.zeros(local.lo.shape[:1])
-        alpha = gf.full(local.lo.shape[:1], 7)  # fixed alpha for the dryrun
-        for c in cs:
-            acc = gf.add(gf.mul(acc, alpha), c)
-        out = gf.mul(acc, zinv)
-        return out.lo, out.hi
+        stark.eval_packed(
+            [local[:, i] for i in range(stark.COLUMNS)],
+            [nxt[:, i] for i in range(stark.COLUMNS)],
+            consumer,
+        )
+        zinv = gf.GF(zinv_lo, zinv_hi)
+        outs = []
+        for acc in consumer.accumulators():
+            q = gf.mul(acc, zinv)
+            outs.extend([q.lo, q.hi])
+        return tuple(outs)
 
     return shard_map(
         shard_step, mesh=mesh,
-        in_specs=(spec, spec, spec, spec, vec_spec, vec_spec),
-        out_specs=(vec_spec, vec_spec),
+        in_specs=(spec, spec, spec, spec) + (vec_spec,) * 8,
+        out_specs=(vec_spec,) * (2 * len(alphas)),
         check_rep=False,
+    )
+
+
+def dryrun_prove_step(n_devices: int) -> None:
+    """One sharded prove step on tiny shapes: column-sharded commit (IFFT +
+    coset-LDE + all-to-all transpose + row-sharded Merkle, cap all-gather)
+    followed by row-sharded quotient evaluation of a REAL table AIR
+    (CmpStark.eval_packed through GfOps). Used by __graft_entry__'s
+    dryrun_multichip."""
+    from ..tables.cmp import COL_NUM_CMP, CmpStark
+
+    mesh = make_mesh(n_devices)
+    degree_bits, rate_bits, cap_height = 5, 2, 4
+    num_cols = max(COL_NUM_CMP, mesh.size)
+    num_cols += (-num_cols) % mesh.size
+    n = 1 << degree_bits
+    lde_n = n << rate_bits
+
+    rng = np.random.RandomState(0)
+    vals = rng.randint(0, 1 << 63, size=(num_cols, n)).astype(np.uint64)
+    x = gf.from_u64(vals)
+
+    cap, leaves = sharded_commit(mesh, x, rate_bits, cap_height)
+
+    stark = CmpStark()
+    qfn = quotient_eval_fn(mesh, stark, alphas=[3, 5])
+
+    with mesh:
+        # row-sharded quotient over the (lde_n, C) window; next row = +1 in
+        # the leaf ordering is only a dryrun approximation (the real prover
+        # gathers x*g rows), enough to exercise the sharded compile+run.
+        ll = leaves.lo[:, :COL_NUM_CMP]
+        lh = leaves.hi[:, :COL_NUM_CMP]
+        nl = jnp.roll(ll, -1, axis=0)
+        nh = jnp.roll(lh, -1, axis=0)
+        ones = gf.ones((lde_n,))
+        zeros = gf.zeros((lde_n,))
+        outs = jax.jit(qfn)(
+            ll, lh, nl, nh, ones.lo, ones.hi, zeros.lo, zeros.hi,
+            zeros.lo, zeros.hi, ones.lo, ones.hi,
+        )
+        jax.block_until_ready(outs)
+    print(
+        f"dryrun_multichip OK: mesh={dict(zip(mesh.axis_names, mesh.devices.shape))}, "
+        f"cap[0][0]={int(np.asarray(cap)[0][0])}, "
+        f"quotient[0]={int(np.asarray(outs[0])[0])}"
     )

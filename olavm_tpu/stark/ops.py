@@ -1,9 +1,12 @@
-"""Field-op adapters so each table's constraint code runs in two modes:
+"""Field-op adapters so each table's constraint code runs in three modes:
 
-- BaseOps: prover quotient evaluation — values are numpy uint64 arrays of
+- BaseOps: host quotient evaluation — values are numpy uint64 arrays of
   shape (size,), one per column, vectorized over all coset points (the
-  TPU-friendly replacement for the reference's packed-SIMD eval,
+  replacement for the reference's packed-SIMD eval,
   circuits/src/stark/stark.rs:35-41);
+- GfOps: DEVICE quotient evaluation — values are two-limb uint32 gf.GF
+  arrays; the same constraint code traces into one jitted XLA program
+  vectorized over all coset points on the TPU;
 - ExtOps: verifier evaluation at zeta — values are (2,) extension elements.
 """
 
@@ -12,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..field import extension as ge
+from ..field import gf
 from ..field import goldilocks as g
 
 
@@ -47,6 +51,39 @@ class BaseOps:
         acc = terms[0]
         for t in terms[1:]:
             acc = g.add_arr(acc, t)
+        return acc
+
+
+class GfOps:
+    """Device ops over two-limb gf.GF arrays (jnp; jit/Pallas-safe)."""
+
+    is_ext = False
+
+    add = staticmethod(gf.add)
+    sub = staticmethod(gf.sub)
+    mul = staticmethod(gf.mul)
+    neg = staticmethod(gf.neg)
+
+    @staticmethod
+    def constant(c: int):
+        return gf.full((), c)
+
+    @staticmethod
+    def scalar_mul(a, c: int):
+        c = int(c) % g.P
+        if c == 0:
+            return gf.zeros(a.shape)
+        if c == 1:
+            return a
+        if c < (1 << 32):
+            return gf.mul_u32(a, c)
+        return gf.mul(a, gf.full((), c))
+
+    @staticmethod
+    def add_many(terms):
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = gf.add(acc, t)
         return acc
 
 

@@ -1,10 +1,14 @@
-"""Binary proof serialization (reference circuits/src/stark/serialization.rs).
+"""Binary proof serialization, a self-consistent format modeled on (but not
+byte-interchangeable with) the reference circuits/src/stark/serialization.rs.
 
-Byte layout follows the reference Buffer conventions: little-endian u64 field
-elements, u8 counts for small vectors, u32 lengths for large ones. Structure
-order matches the reference writer: per-table StarkProof (trace cap, Z cap,
-quotient cap, openings, FRI proof), then compress challenges and public
-values.
+Little-endian u64 field elements; structure order matches the reference
+writer: per-table StarkProof (trace cap, Z cap, quotient cap, openings, FRI
+proof), then compress challenges. Deliberate deviations from the reference
+Buffer widths: small counts (stark_proofs, FRI evals_proofs, query steps,
+commit-phase caps, compress_challenges) are written as u8 where the reference
+uses u32, and PublicValues are appended at the end (the reference
+write_all_proof omits them). Round-trip (serialize -> deserialize -> verify)
+is covered by tests/test_serialization.py.
 """
 
 from __future__ import annotations

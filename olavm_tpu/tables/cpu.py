@@ -239,6 +239,11 @@ class CpuStark(Stark):
         c.constraint_transition(m(d, F.sub(d, one)))
         c.constraint(m(lv_is_padding, F.sub(lv[COL_S_END], one)))
         c.constraint(m(lv_is_entry_sc, F.sub(one, lv_is_entry_sc)))
+        # bind the flag to env 0 (cpu_stark.rs:353): is_entry_sc may only be
+        # set on env-0 rows, so it is not free prover advice for END
+        # ext_length / tx_idx gating (the env-0 END ext line keeps flag 0,
+        # satisfying flag * env == 0 either way).
+        c.constraint(m(lv_is_entry_sc, lv[COL_ENV_IDX]))
         c.constraint(
             m(F.sub(one, nv_is_padding), is_in_same_tx,
               F.sub(nv[COL_TX_IDX], lv[COL_TX_IDX]))
