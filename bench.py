@@ -37,6 +37,10 @@ REF_REPS = {"fib": 1000, "sqrt": 16000}
 def main():
     import jax
 
+    from olavm_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
+
     on_accel = jax.default_backend() not in ("cpu",)
     log_rows = int(os.environ.get(
         "OLAVM_BENCH_LOG_ROWS", "20" if on_accel else "13"))
@@ -45,10 +49,11 @@ def main():
         "OLAVM_BENCH_BACKEND", "device" if on_accel else "host")
     ref_seconds, steps_per_rep, asm = REF[workload]
 
-    from olavm_tpu.runtime.harness import run_program_full
+    from olavm_tpu.runtime.harness import run_program_fast
     from olavm_tpu.stark.config import StarkConfig
     from olavm_tpu.stark.verifier import verify_proof
-    from olavm_tpu.tables.ola_stark import OlaStark, generate_traces
+    from olavm_tpu.tables.fast_gen import generate_traces_fast
+    from olavm_tpu.tables.ola_stark import OlaStark
 
     # Scale reps to fill just under 2^log_rows cpu rows. At log_rows=20 this
     # is exactly the reference benchmark (fib: times=1000 -> 866,115 steps).
@@ -59,16 +64,16 @@ def main():
     if workload == "fib":
         calldata = [47, times, 2, 4185064725]
     else:
-        calldata = [times, 2, 3509365327]  # sqrt_prophet.rs:97
+        calldata = [1073741824, times, 2, 3509365327]  # sqrt_prophet.rs:45
 
     t0 = time.time()
-    process, program, tree = run_program_full(asm, calldata)
+    fast_run, process, program, tree = run_program_fast(asm, calldata)
     t_exec = time.time() - t0
-    steps = len(program.trace.exec)
+    steps = fast_run.cpu.shape[0]
 
     ola = OlaStark()
     t0 = time.time()
-    traces = generate_traces(program, ola)
+    traces = generate_traces_fast(fast_run, program, ola, process)
     t_gen = time.time() - t0
 
     rows = traces[0].shape[1]

@@ -21,6 +21,6 @@ jax.config.update("jax_platforms", "cpu")
 
 # XLA-CPU compiles of our integer-heavy graphs are minutes-slow on this
 # 2-core box; cache them persistently so each graph compiles once ever.
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/olavm_tpu_jax")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+from olavm_tpu.utils.platform import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()

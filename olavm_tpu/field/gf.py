@@ -229,6 +229,60 @@ def inv(a: GF) -> GF:
     return exp_const(a, 0xFFFFFFFF00000001 - 2)
 
 
+def powers(base: GF | int, n: int) -> GF:
+    """Device powers [1, b, b^2, ..., b^{n-1}] via log-doubling (n pow of 2
+    or not; log2(n) rounds of array muls)."""
+    if isinstance(base, int):
+        base = full((), base)
+    out = ones((1,))
+    length = 1
+    import jax.numpy as _jnp
+
+    while length < n:
+        step = min(length, n - length)
+        # out[length:length+step] = out[:step] * base^length
+        shift = exp_const(base, length)
+        nxt = mul(out[:step], GF(_jnp.broadcast_to(shift.lo, (step,)),
+                                 _jnp.broadcast_to(shift.hi, (step,))))
+        out = concatenate([out, nxt])
+        length += step
+    return out
+
+
+def sum_reduce(x: GF, axis: int = -1) -> GF:
+    """Modular sum along an axis of power-of-2 length (log-depth halving)."""
+    import jax.numpy as _jnp
+
+    lo = _jnp.moveaxis(x.lo, axis, -1)
+    hi = _jnp.moveaxis(x.hi, axis, -1)
+    n = lo.shape[-1]
+    while n > 1:
+        if n % 2:
+            lo = _jnp.concatenate(
+                [lo, _jnp.zeros(lo.shape[:-1] + (1,), lo.dtype)], axis=-1)
+            hi = _jnp.concatenate(
+                [hi, _jnp.zeros(hi.shape[:-1] + (1,), hi.dtype)], axis=-1)
+            n += 1
+        a = GF(lo[..., 0::2], hi[..., 0::2])
+        b = GF(lo[..., 1::2], hi[..., 1::2])
+        s = add(a, b)
+        lo, hi = s.lo, s.hi
+        n = lo.shape[-1]
+    return GF(lo[..., 0], hi[..., 0])
+
+
+def prefix_prod(x: GF, axis: int = -1) -> GF:
+    """Inclusive modular prefix product via associative scan (log depth)."""
+    import jax
+
+    def op(a, b):
+        r = mul(GF(a[0], a[1]), GF(b[0], b[1]))
+        return (r.lo, r.hi)
+
+    lo, hi = jax.lax.associative_scan(op, (x.lo, x.hi), axis=axis)
+    return GF(lo, hi)
+
+
 def select(pred, a: GF, b: GF) -> GF:
     return GF(jnp.where(pred, a.lo, b.lo), jnp.where(pred, a.hi, b.hi))
 

@@ -48,17 +48,18 @@ def _g(xp, s, a, b, c, d, x, y):
     s[b] = _rotr(xp, s[b] ^ s[c], 7)
 
 
-def compress(xp, cv, m, block_len: int, flags: int, shape):
+def compress(xp, cv, m, block_len: int, flags: int, shape, counter: int = 0):
     """One compression: cv = 8 lanes, m = 16 lanes, returns 8 lanes.
 
-    Lanes are uint32 arrays of `shape` (scalars broadcast fine). counter = 0
-    always (single-chunk messages / parent nodes).
+    Lanes are uint32 arrays of `shape` (scalars broadcast fine). counter is
+    the chunk counter (0 for single-chunk messages / parent nodes).
     """
     u = np.uint32
     s = list(cv) + [
         xp.full(shape, IV[0], u), xp.full(shape, IV[1], u),
         xp.full(shape, IV[2], u), xp.full(shape, IV[3], u),
-        xp.zeros(shape, u), xp.zeros(shape, u),
+        xp.full(shape, counter & 0xFFFFFFFF, u),
+        xp.full(shape, counter >> 32, u),
         xp.full(shape, block_len, u), xp.full(shape, flags, u),
     ]
     m = list(m)
@@ -76,30 +77,64 @@ def compress(xp, cv, m, block_len: int, flags: int, shape):
     return [s[i] ^ s[i + 8] for i in range(8)]
 
 
-def hash_words(xp, words, byte_len: int | None = None):
-    """Single-chunk BLAKE3 of n parallel messages.
-
-    words: sequence of W uint32 lanes (each an array of identical shape; the
-    whole batch is one message of W*4 bytes, vectorized over the lane shape).
-    Returns 8 digest lanes. byte_len defaults to W*4.
-    """
-    W = len(words)
-    if byte_len is None:
-        byte_len = W * 4
-    assert byte_len <= 1024, "single-chunk only (<=128 field elements)"
-    shape = words[0].shape if hasattr(words[0], "shape") else ()
+def _chunk_cv(xp, words, byte_len: int, chunk_counter: int, is_root: bool,
+              shape):
+    """One <=1024-byte chunk -> chaining value (8 lanes)."""
     u = np.uint32
     zero = xp.zeros(shape, u)
     nblocks = max(1, (byte_len + 63) // 64)
     cv = [xp.full(shape, IV[i], u) for i in range(8)]
     for b in range(nblocks):
-        m = [words[16 * b + w] if 16 * b + w < W else zero for w in range(16)]
+        m = [words[16 * b + w] if 16 * b + w < len(words) else zero
+             for w in range(16)]
         blen = min(64, byte_len - 64 * b)
         flags = (CHUNK_START if b == 0 else 0) | (
-            (CHUNK_END | ROOT) if b == nblocks - 1 else 0
+            (CHUNK_END | (ROOT if is_root else 0)) if b == nblocks - 1 else 0
         )
-        cv = compress(xp, cv, m, blen, flags, shape)
+        cv = compress(xp, cv, m, blen, flags, shape, counter=chunk_counter)
     return cv
+
+
+def _subtree_cv(xp, words, byte_len: int, chunk0: int, shape):
+    """Subtree chaining value (never root), mirroring gl_blake3.cpp
+    b3_subtree_cv."""
+    nchunks = (byte_len + 1023) // 1024
+    if nchunks <= 1:
+        return _chunk_cv(xp, words, byte_len, chunk0, False, shape)
+    left = 1
+    while left * 2 < nchunks:
+        left *= 2
+    lcv = _subtree_cv(xp, words[: left * 256], left * 1024, chunk0, shape)
+    rcv = _subtree_cv(xp, words[left * 256:], byte_len - left * 1024,
+                      chunk0 + left, shape)
+    return compress(xp, [xp.full(shape, IV[i], np.uint32) for i in range(8)],
+                    lcv + rcv, 64, PARENT, shape)
+
+
+def hash_words(xp, words, byte_len: int | None = None):
+    """BLAKE3 of n parallel messages (vectorized over the lane shape).
+
+    words: sequence of W uint32 lanes (each an array of identical shape; the
+    whole batch is one message of W*4 bytes). Returns 8 digest lanes.
+    byte_len defaults to W*4. Multi-chunk messages (>1024 bytes, e.g. the
+    poseidon table's wide rows) use the chunk-tree exactly as the native
+    kernel (gl_blake3.cpp:124-141).
+    """
+    W = len(words)
+    if byte_len is None:
+        byte_len = W * 4
+    shape = words[0].shape if hasattr(words[0], "shape") else ()
+    nchunks = max(1, (byte_len + 1023) // 1024)
+    if nchunks == 1:
+        return _chunk_cv(xp, words, byte_len, 0, True, shape)
+    left = 1
+    while left * 2 < nchunks:
+        left *= 2
+    lcv = _subtree_cv(xp, words[: left * 256], left * 1024, 0, shape)
+    rcv = _subtree_cv(xp, words[left * 256:], byte_len - left * 1024, left,
+                      shape)
+    return compress(xp, [xp.full(shape, IV[i], np.uint32) for i in range(8)],
+                    lcv + rcv, 64, PARENT | ROOT, shape)
 
 
 def two_to_one_words(xp, left8, right8):

@@ -77,6 +77,42 @@ class Program:
         )
 
 
+def gen_program_hash_rows(program, words):
+    """Program-code sponge PoseidonRows (zk-vm/src/lib.rs:404 get_code path);
+    shared by the Python executor prologue and the fast harness."""
+    from ..hash.poseidon import _native
+
+    native = _native()
+    if native is not None and words:
+        import numpy as np
+
+        _, raw = native.arbitrary_sponge_trace(np.array(words, dtype=np.uint64))
+        for r in raw:
+            program.trace.builtin_poseidon.append(
+                PoseidonRow(
+                    input=tuple(int(x) for x in r[0:12]),
+                    full_0_1=tuple(int(x) for x in r[12:24]),
+                    full_0_2=tuple(int(x) for x in r[24:36]),
+                    full_0_3=tuple(int(x) for x in r[36:48]),
+                    partial=tuple(int(x) for x in r[48:70]),
+                    full_1_0=tuple(int(x) for x in r[70:82]),
+                    full_1_1=tuple(int(x) for x in r[82:94]),
+                    full_1_2=tuple(int(x) for x in r[94:106]),
+                    full_1_3=tuple(int(x) for x in r[106:118]),
+                    output=tuple(int(x) for x in r[118:130]),
+                    filter_looked_normal=True,
+                )
+            )
+    else:
+        _, rows = pos.arbitrary_poseidon_np(words, with_rows=True)
+        for r in rows:
+            program.trace.builtin_poseidon.append(
+                _poseidon_row_from_trace(
+                    r["input"], r["output"], r, filter_looked_normal=True
+                )
+            )
+
+
 def _poseidon_row_from_trace(inp, out, tr, **filters) -> PoseidonRow:
     return PoseidonRow(
         input=tuple(int(x) for x in inp),
@@ -1013,39 +1049,7 @@ class Process:
         # on the first execute of this program (a resumed caller after an
         # sccall return must not re-hash, zk-vm/src/lib.rs:404 get_code=false)
         words = [int(s, 16) for s in program.instructions] if fresh_program else []
-        from ..hash.poseidon import _native
-
-        native = _native()
-        if native is not None and words:
-            import numpy as np
-
-            _, raw = native.arbitrary_sponge_trace(
-                np.array(words, dtype=np.uint64)
-            )
-            for r in raw:
-                program.trace.builtin_poseidon.append(
-                    PoseidonRow(
-                        input=tuple(int(x) for x in r[0:12]),
-                        full_0_1=tuple(int(x) for x in r[12:24]),
-                        full_0_2=tuple(int(x) for x in r[24:36]),
-                        full_0_3=tuple(int(x) for x in r[36:48]),
-                        partial=tuple(int(x) for x in r[48:70]),
-                        full_1_0=tuple(int(x) for x in r[70:82]),
-                        full_1_1=tuple(int(x) for x in r[82:94]),
-                        full_1_2=tuple(int(x) for x in r[94:106]),
-                        full_1_3=tuple(int(x) for x in r[106:118]),
-                        output=tuple(int(x) for x in r[118:130]),
-                        filter_looked_normal=True,
-                    )
-                )
-        else:
-            _, rows = pos.arbitrary_poseidon_np(words, with_rows=True)
-            for r in rows:
-                program.trace.builtin_poseidon.append(
-                    _poseidon_row_from_trace(
-                        r["input"], r["output"], r, filter_looked_normal=True
-                    )
-                )
+        gen_program_hash_rows(program, words)
 
         end_step = None
         while True:

@@ -1,0 +1,296 @@
+"""Device-resident polynomial commitment: the TPU analogue of the reference
+PolynomialBatch (plonky2/plonky2/src/fri/oracle.rs:30-164).
+
+Everything big lives in device HBM as two-limb uint32 GF arrays in COLUMN-
+major natural order (num_polys, lde_size):
+
+  values (C, N) --intt--> coeffs (C, N) --coset_lde--> lde (C, N<<rate)
+     leaf digests hashed straight off the (C, size) planes (leaf i is a
+     column slice; zero transposes), bit-reversal applied to the DIGEST
+     lanes (32B/leaf) instead of the leaf matrix (8C bytes/leaf),
+     tree levels built one jit per level (chained hash graphs explode the
+     XLA:CPU compiler), small tail levels finished on host.
+
+Only caps, query leaf values, and Merkle paths ever cross device->host (the
+tunnel's D2H path is ~1000x slower than H2D; see VERDICT round 1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..field import gf
+from ..field import gfe
+from ..field import goldilocks as g
+from ..merkle import device as dmerkle
+from ..ntt import ntt as dntt
+from ..utils.bits import bit_reversal_perm, log2_strict
+
+# column-block chunking: keep each NTT working set under ~2^27 elements
+# (1 GB as a u32 pair) so XLA's buffer planning never sees multi-GB tensors
+_CHUNK_ELEMS = 1 << 27
+# device tree levels stop here; the tail is hashed on host (fewer jits, and
+# the host needs the cap anyway)
+_HOST_TAIL = 1 << 12
+
+_jit_cache: dict = {}
+
+
+def _jit(key, fn):
+    import jax
+
+    if key not in _jit_cache:
+        _jit_cache[key] = jax.jit(fn)
+    return _jit_cache[key]
+
+
+def _col_chunks(num_cols: int, n: int):
+    block = max(1, _CHUNK_ELEMS // max(n, 1))
+    return [(s, min(num_cols, s + block)) for s in range(0, num_cols, block)]
+
+
+def intt_chunked(values: gf.GF) -> gf.GF:
+    """(C, N) values -> coefficients, column-block chunked."""
+    import jax.numpy as jnp
+
+    C, n = values.shape
+    fn = _jit(("intt", n), lambda lo, hi: tuple(dntt.intt(gf.GF(lo, hi))))
+    outs = [fn(values.lo[s:e], values.hi[s:e]) for s, e in _col_chunks(C, n)]
+    return gf.GF(jnp.concatenate([o[0] for o in outs]),
+                 jnp.concatenate([o[1] for o in outs]))
+
+
+def coset_lde_chunked(coeffs: gf.GF, rate_bits: int) -> gf.GF:
+    """(C, N) coeffs -> (C, N<<rate) coset-LDE values, chunked."""
+    import jax.numpy as jnp
+
+    C, n = coeffs.shape
+    big = n << rate_bits
+    fn = _jit(
+        ("lde", n, rate_bits),
+        lambda lo, hi: tuple(dntt.coset_lde(gf.GF(lo, hi), rate_bits)),
+    )
+    outs = [fn(coeffs.lo[s:e], coeffs.hi[s:e]) for s, e in _col_chunks(C, big)]
+    return gf.GF(jnp.concatenate([o[0] for o in outs]),
+                 jnp.concatenate([o[1] for o in outs]))
+
+
+def ntt_chunked(coeffs: gf.GF) -> gf.GF:
+    import jax.numpy as jnp
+
+    C, n = coeffs.shape
+    fn = _jit(("ntt", n), lambda lo, hi: tuple(dntt.ntt(gf.GF(lo, hi))))
+    outs = [fn(coeffs.lo[s:e], coeffs.hi[s:e]) for s, e in _col_chunks(C, n)]
+    return gf.GF(jnp.concatenate([o[0] for o in outs]),
+                 jnp.concatenate([o[1] for o in outs]))
+
+
+def _leaf_digests_cols(lde: gf.GF, hasher_kind: str) -> list:
+    """Digest lanes for leaves = columns of the (C, size) LDE, natural order.
+
+    Leaf i's little-endian u64 words are (lo[0,i], hi[0,i], lo[1,i], ...) —
+    exactly interleaved column slices, no transpose materialized.
+    """
+    C, size = lde.shape
+    words = []
+    for c in range(C):
+        words.append(lde.lo[c])
+        words.append(lde.hi[c])
+    if C <= 4:
+        import jax.numpy as jnp
+
+        zero = jnp.zeros((size,), jnp.uint32)
+        return [words[i] if i < 2 * C else zero for i in range(8)]
+    return dmerkle.word_digests(words, hasher_kind)
+
+
+def build_tree_device(leaf_digs: list, size: int, cap_height: int,
+                      hasher_kind: str):
+    """Per-level reduction: device lanes while big, host tail. Returns
+    (levels_dev: list of 8-lane tuples, levels_host: list of (m,4) u64,
+    cap: (2^cap_height, 4) u64 host)."""
+    import jax
+
+    from ..hash.hashers import by_name
+
+    levels_dev = [list(leaf_digs)]
+    m = size
+    while m > max(_HOST_TAIL, 1 << cap_height):
+        fn = _jit(("compress", m, hasher_kind),
+                  lambda *digs: tuple(dmerkle.compress_level(list(digs),
+                                                             hasher_kind)))
+        levels_dev.append(list(fn(*levels_dev[-1])))
+        m >>= 1
+    # pull the smallest device level, finish on host (levels_host INCLUDES
+    # the cap level as its last entry when non-empty)
+    host_top = dmerkle.digests_to_u64_np(levels_dev[-1])
+    hasher = by_name(hasher_kind)
+    levels_host = []
+    while m > (1 << cap_height):
+        host_top = hasher.compress(
+            np.ascontiguousarray(host_top[0::2]),
+            np.ascontiguousarray(host_top[1::2]),
+        )
+        levels_host.append(host_top)
+        m >>= 1
+    return levels_dev, levels_host, host_top
+
+
+class DevicePolynomialBatch:
+    """Commitment with device-resident coeffs/LDE/tree.
+
+    polynomials/lde are (C, n)/(C, size) GF in NATURAL evaluation order;
+    Merkle leaves are the LDE columns in BIT-REVERSED order (digest lanes
+    permuted, matching the host PolynomialBatch/reference layout).
+    """
+
+    def __init__(self, coeffs: gf.GF, lde: gf.GF, levels_dev, levels_host,
+                 cap: np.ndarray, degree_log: int, rate_bits: int,
+                 hasher_kind: str):
+        self.coeffs = coeffs
+        self.lde = lde
+        self.levels_dev = levels_dev
+        self.levels_host = levels_host
+        self._cap = cap
+        self.degree_log = degree_log
+        self.rate_bits = rate_bits
+        self.hasher_kind = hasher_kind
+
+    # --- construction ---------------------------------------------------
+
+    @staticmethod
+    def from_values(values: gf.GF, rate_bits: int, cap_height: int,
+                    hasher_kind: str) -> "DevicePolynomialBatch":
+        coeffs = intt_chunked(values)
+        return DevicePolynomialBatch.from_coeffs(
+            coeffs, rate_bits, cap_height, hasher_kind
+        )
+
+    @staticmethod
+    def from_coeffs(coeffs: gf.GF, rate_bits: int, cap_height: int,
+                    hasher_kind: str) -> "DevicePolynomialBatch":
+        import jax.numpy as jnp
+
+        C, n = coeffs.shape
+        degree_log = log2_strict(n)
+        lde = coset_lde_chunked(coeffs, rate_bits)
+        size = n << rate_bits
+        digs = _leaf_digests_cols(lde, hasher_kind)
+        # bit-reverse the digest lanes -> leaf order of the reference tree
+        perm = jnp.asarray(bit_reversal_perm(size))
+        digs = [d[perm] for d in digs]
+        levels_dev, levels_host, cap = build_tree_device(
+            digs, size, cap_height, hasher_kind
+        )
+        return DevicePolynomialBatch(
+            coeffs, lde, levels_dev, levels_host, cap, degree_log, rate_bits,
+            hasher_kind,
+        )
+
+    # --- accessors --------------------------------------------------------
+
+    @property
+    def cap(self) -> np.ndarray:
+        return self._cap
+
+    @property
+    def num_polys(self) -> int:
+        return self.coeffs.shape[0]
+
+    @property
+    def lde_bits(self) -> int:
+        return self.degree_log + self.rate_bits
+
+    def ensure_lde(self) -> gf.GF:
+        if self.lde is None:
+            self.lde = coset_lde_chunked(self.coeffs, self.rate_bits)
+        return self.lde
+
+    def drop_lde(self):
+        self.lde = None
+
+    def drop_tree(self):
+        self.levels_dev = None
+        self.levels_host = None
+
+    # --- openings -----------------------------------------------------------
+
+    def eval_at_ext(self, zeta_pows: gfe.GFE) -> np.ndarray:
+        """Evaluate every polynomial at the extension point whose power table
+        (n,) is given. Returns host (C, 2) u64."""
+        C, n = self.coeffs.shape
+
+        def ev(lo, hi, zr_lo, zr_hi, zi_lo, zi_hi):
+            c = gf.GF(lo, hi)
+            re = gf.sum_reduce(gf.mul(c, gf.GF(zr_lo, zr_hi)[None, :]), -1)
+            im = gf.sum_reduce(gf.mul(c, gf.GF(zi_lo, zi_hi)[None, :]), -1)
+            return re.lo, re.hi, im.lo, im.hi
+
+        fn = _jit(("evalext", n), ev)
+        outs = []
+        for s, e in _col_chunks(C, n):
+            outs.append(fn(self.coeffs.lo[s:e], self.coeffs.hi[s:e],
+                           zeta_pows.re.lo, zeta_pows.re.hi,
+                           zeta_pows.im.lo, zeta_pows.im.hi))
+        re_lo = np.concatenate([np.asarray(o[0]) for o in outs])
+        re_hi = np.concatenate([np.asarray(o[1]) for o in outs])
+        im_lo = np.concatenate([np.asarray(o[2]) for o in outs])
+        im_hi = np.concatenate([np.asarray(o[3]) for o in outs])
+        re = re_lo.astype(np.uint64) | (re_hi.astype(np.uint64) << np.uint64(32))
+        im = im_lo.astype(np.uint64) | (im_hi.astype(np.uint64) << np.uint64(32))
+        return np.stack([re, im], axis=-1)
+
+    # --- FRI queries ----------------------------------------------------
+
+    def query_leaves(self, x_indices: list[int]) -> np.ndarray:
+        """Leaf values for bit-reversed leaf indices: (k, C) host u64."""
+        import jax.numpy as jnp
+
+        bits = self.lde_bits
+        perm = bit_reversal_perm(1 << bits)
+        nat = perm[np.asarray(x_indices)]
+        lde = self.ensure_lde()
+
+        def gather(lo, hi, idx):
+            return lo[:, idx], hi[:, idx]
+
+        fn = _jit(("qleaves", lde.shape), gather)
+        lo, hi = fn(lde.lo, lde.hi, jnp.asarray(nat))
+        lo = np.asarray(lo, dtype=np.uint64)
+        hi = np.asarray(hi, dtype=np.uint64)
+        return (lo | (hi << np.uint64(32))).T
+
+    def prove_batch(self, x_indices: list[int]) -> list[list[list[int]]]:
+        """Merkle paths for a batch of leaf indices: [k][level][4]."""
+        import jax.numpy as jnp
+
+        k = len(x_indices)
+        idx = np.asarray(x_indices, dtype=np.int64)
+        num_path_levels = self.lde_bits - log2_strict(len(self._cap))
+        sib_per_level = []
+        for lvl, digs in enumerate(self.levels_dev):
+            if lvl >= num_path_levels:
+                break
+            sib = (idx >> lvl) ^ 1
+
+            def gather(lanes, s):
+                return jnp.stack([lane[s] for lane in lanes], axis=-1)
+
+            fn = _jit(("qpath", self.levels_dev[lvl][0].shape, lvl, k),
+                      gather)
+            out = np.asarray(fn(tuple(digs), jnp.asarray(sib)),
+                             dtype=np.uint32)
+            sib_per_level.append(
+                np.ascontiguousarray(out).view(np.uint64).reshape(k, 4)
+            )
+        n_dev = len(self.levels_dev)
+        for h, level in enumerate(self.levels_host):
+            lvl = n_dev + h
+            if lvl >= num_path_levels:
+                break
+            sib = (idx >> lvl) ^ 1
+            sib_per_level.append(level[sib])
+        out = []
+        for i in range(k):
+            out.append([[int(v) for v in level[i]] for level in sib_per_level])
+        return out

@@ -1,0 +1,857 @@
+"""Device (TPU) multi-table STARK prover.
+
+Same transcript as the host prover (stark/prover.py; reference
+circuits/src/stark/prover.rs) — the Fiat-Shamir challenger, PoW grind and
+proof objects stay on host — but every O(n) computation runs on the
+accelerator as jitted two-limb GF programs:
+
+  commit    = chunked iNTT -> coset-LDE -> column-wise leaf hashing ->
+              per-level Merkle reduction           (oracle_device)
+  Z polys   = associative-scan grand products      (ctl_device)
+  quotient  = the SAME per-table AIR code (stark.eval_packed) traced through
+              GfOps over row chunks of the evaluation coset
+  openings  = power-table inner products at zeta / g*zeta
+  FRI       = values-first composition poly, device fold + per-round device
+              trees, batched query gathers
+
+Only caps, openings, z-last values, final FRI coefficients, and query
+leaves/paths cross device->host (the tunnel's D2H is ~1000x slower than
+H2D). Fiat-Shamir challenges cross host->device as traced scalar banks so
+every compiled program is reused across proves.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from ..field import extension as ge
+from ..field import gf
+from ..field import gfe
+from ..field import goldilocks as g
+from ..utils.bits import bit_reversal_perm, log2_strict, reverse_bits
+from ..utils.timing import TimingTree
+from .challenger import Challenger
+from .config import StarkConfig
+from .consumer import ConstraintConsumer
+from .cross_table_lookup import CtlCheckVars
+from .ctl_device import DevChallenge, ctl_data_device, permutation_z_polys_device
+from .fri import (
+    FriInitialTreeProof,
+    FriProof,
+    FriQueryRound,
+    FriQueryStep,
+    fri_proof_of_work,
+)
+from .oracle_device import (
+    DevicePolynomialBatch,
+    _jit,
+    build_tree_device,
+    intt_chunked,
+)
+from .ops import GfOps
+from .proof import AllProof, PublicValues, StarkOpeningSet, StarkProof
+from .prover import fri_instance_for_stark
+from .stark_base import (
+    get_n_grand_product_challenge_sets,
+    get_permutation_batches,
+)
+
+logger = logging.getLogger(__name__)
+
+# row-chunk target for quotient evaluation (elements per column slice)
+_Q_CHUNK = 1 << 20
+
+# (degree_bits, qdb) -> dict of device coset constants
+_coset_cache: dict = {}
+
+
+def clear_device_caches():
+    _coset_cache.clear()
+
+
+def _coset_consts(degree_bits: int, qdb: int):
+    """Device (size,) arrays: coset points x, z_last, lagrange first/last
+    selectors, Z_H^{-1} (prover.rs:571-620 preamble)."""
+    key = (degree_bits, qdb)
+    if key in _coset_cache:
+        return _coset_cache[key]
+    import jax.numpy as jnp
+
+    from ..ntt import ntt as dntt
+    from .polynomial import ZeroPolyOnCoset
+
+    degree = 1 << degree_bits
+    size = degree << qdb
+
+    def build():
+        xs = gf.mul(
+            gf.powers(g.primitive_root_of_unity(degree_bits + qdb), size),
+            gf.full((), g.MULTIPLICATIVE_GROUP_GENERATOR),
+        )
+        last = g.inv(g.primitive_root_of_unity(degree_bits))
+        z_last = gf.sub(xs, gf.full((), last))
+        # lagrange selectors via a 2-row delta intt+lde
+        deltas = np.zeros((2, degree), dtype=np.uint64)
+        deltas[0, 0] = 1
+        deltas[1, degree - 1] = 1
+        d = gf.from_u64(deltas)
+        sel = dntt.coset_lde(dntt.intt(d), qdb)
+        return z_last.lo, z_last.hi, sel.lo, sel.hi
+
+    fn = _jit(("coset_consts", degree_bits, qdb), build)
+    zl_lo, zl_hi, sel_lo, sel_hi = fn()
+    zp = ZeroPolyOnCoset(degree_bits, qdb)
+    zh = gf.from_u64(np.tile(zp.inverses, size // zp.rate))
+    consts = {
+        "z_last": gf.GF(zl_lo, zl_hi),
+        "lagrange_first": gf.GF(sel_lo[0], sel_hi[0]),
+        "lagrange_last": gf.GF(sel_lo[1], sel_hi[1]),
+        "zh_inv": zh,
+    }
+    _coset_cache[key] = consts
+    return consts
+
+
+# ---------------------------------------------------------------------------
+# quotient
+# ---------------------------------------------------------------------------
+
+
+def compute_quotient_polys_device(stark, config, trace_batch, zs_batch,
+                                  permutation_challenges, ctl_data, alphas,
+                                  degree_bits, num_permutation_zs) -> gf.GF:
+    """Device compute_quotient_polys (prover.rs:571-705): the same
+    stark.eval_packed constraint code, traced once per row-chunk shape, with
+    all Fiat-Shamir scalars passed as a device bank."""
+    import jax.numpy as jnp
+
+    degree = 1 << degree_bits
+    qdb = (stark.quotient_degree_factor()).bit_length() - 1
+    if (1 << qdb) < stark.quotient_degree_factor():
+        qdb += 1
+    rate_bits = config.fri_config.rate_bits
+    assert qdb <= rate_bits
+    step = 1 << (rate_bits - qdb)
+    next_step = 1 << qdb
+    size = degree << qdb
+
+    consts = _coset_consts(degree_bits, qdb)
+    trace_lde = trace_batch.ensure_lde()
+    zs_lde = zs_batch.ensure_lde()
+
+    # ----- scalar bank: alphas, permutation challenges, ctl challenges -----
+    bank_vals = [int(a) for a in alphas]
+    num_alphas = len(alphas)
+    perm_meta = None
+    if permutation_challenges is not None:
+        chal_list = []
+        chal_index = {}
+        for cs in permutation_challenges:
+            for c in cs:
+                if id(c) not in chal_index:
+                    chal_index[id(c)] = len(bank_vals) + 2 * len(chal_list)
+                    chal_list.append(c)
+        for c in chal_list:
+            bank_vals.extend([c.beta, c.gamma])
+        pairs = stark.permutation_pairs()
+        batches = get_permutation_batches(
+            pairs, permutation_challenges, config.num_challenges,
+            stark.permutation_batch_size(),
+        )
+        perm_meta = tuple(
+            tuple((tuple(pair.column_pairs), chal_index[id(chal)])
+                  for pair, chal in instances)
+            for instances in batches
+        )
+    ctl_meta = []
+    for zc in ctl_data.zs_columns:
+        off = len(bank_vals)
+        bank_vals.extend([zc.challenge.beta, zc.challenge.gamma])
+        ctl_meta.append(off)
+    bank = gf.from_u64(np.array(bank_vals, dtype=np.uint64))
+
+    num_chunks = max(1, size // _Q_CHUNK)
+    R = size // num_chunks
+
+    def chunk_fn(tl_lo, tl_hi, tn_lo, tn_hi, zl_lo, zl_hi, zn_lo, zn_hi,
+                 zlast_lo, zlast_hi, lf_lo, lf_hi, ll_lo, ll_hi,
+                 zh_lo, zh_hi, bank_lo, bank_hi):
+        def bscalar(i):
+            return gf.GF(bank_lo[i], bank_hi[i])
+
+        local = gf.GF(tl_lo, tl_hi)
+        nxt = gf.GF(tn_lo, tn_hi)
+        zs_local = gf.GF(zl_lo, zl_hi)
+        zs_next = gf.GF(zn_lo, zn_hi)
+        consumer = ConstraintConsumer(
+            GfOps,
+            [bscalar(i) for i in range(num_alphas)],
+            gf.GF(zlast_lo, zlast_hi),
+            gf.GF(lf_lo, lf_hi),
+            gf.GF(ll_lo, ll_hi),
+        )
+        lv = [local[i] for i in range(stark.COLUMNS)]
+        nv = [nxt[i] for i in range(stark.COLUMNS)]
+        stark.eval_packed(lv, nv, consumer)
+        if perm_meta is not None:
+            for z in [zs_local[i] for i in range(num_permutation_zs)]:
+                consumer.constraint_first_row(
+                    GfOps.sub(z, GfOps.constant(1))
+                )
+            for bi, instances in enumerate(perm_meta):
+                red_lhs, red_rhs = [], []
+                for (column_pairs, ci) in instances:
+                    chal = DevChallenge(bscalar(ci), bscalar(ci + 1))
+                    red_lhs.append(
+                        chal.combine_ops(GfOps, [lv[a] for (a, _) in column_pairs])
+                    )
+                    red_rhs.append(
+                        chal.combine_ops(GfOps, [lv[b] for (_, b) in column_pairs])
+                    )
+                prod_lhs = red_lhs[0]
+                for t in red_lhs[1:]:
+                    prod_lhs = GfOps.mul(prod_lhs, t)
+                prod_rhs = red_rhs[0]
+                for t in red_rhs[1:]:
+                    prod_rhs = GfOps.mul(prod_rhs, t)
+                consumer.constraint(
+                    GfOps.sub(GfOps.mul(zs_next[bi], prod_rhs),
+                              GfOps.mul(zs_local[bi], prod_lhs))
+                )
+        ctl_vars = [
+            CtlCheckVars(
+                zs_local[num_permutation_zs + i],
+                zs_next[num_permutation_zs + i],
+                DevChallenge(bscalar(off), bscalar(off + 1)),
+                ctl_data.zs_columns[i].columns,
+                ctl_data.zs_columns[i].filter_column,
+            )
+            for i, off in enumerate(ctl_meta)
+        ]
+        from .cross_table_lookup import eval_cross_table_lookup_checks
+
+        eval_cross_table_lookup_checks(lv, nv, ctl_vars, consumer)
+        zh = gf.GF(zh_lo, zh_hi)
+        outs = []
+        for acc in consumer.accumulators():
+            q = gf.mul(acc, zh)
+            outs.extend([q.lo, q.hi])
+        return tuple(outs)
+
+    key = ("quotient", type(stark).__name__, trace_lde.shape, zs_lde.shape,
+           R, num_permutation_zs, len(ctl_meta), perm_meta)
+    fn = _jit(key, chunk_fn)
+
+    acc_chunks = [[] for _ in range(num_alphas)]
+    for c in range(num_chunks):
+        rows = np.arange(c * R, (c + 1) * R, dtype=np.int64)
+        li = jnp.asarray(rows * step)
+        ni = jnp.asarray(((rows + next_step) % size) * step)
+        outs = fn(
+            trace_lde.lo[:, li], trace_lde.hi[:, li],
+            trace_lde.lo[:, ni], trace_lde.hi[:, ni],
+            zs_lde.lo[:, li], zs_lde.hi[:, li],
+            zs_lde.lo[:, ni], zs_lde.hi[:, ni],
+            consts["z_last"].lo[li], consts["z_last"].hi[li],
+            consts["lagrange_first"].lo[li], consts["lagrange_first"].hi[li],
+            consts["lagrange_last"].lo[li], consts["lagrange_last"].hi[li],
+            consts["zh_inv"].lo[li], consts["zh_inv"].hi[li],
+            bank.lo, bank.hi,
+        )
+        for i in range(num_alphas):
+            acc_chunks[i].append(gf.GF(outs[2 * i], outs[2 * i + 1]))
+
+    quotient_values = gf.GF(
+        jnp.stack([jnp.concatenate([ch.lo for ch in acc_chunks[i]])
+                   for i in range(num_alphas)]),
+        jnp.stack([jnp.concatenate([ch.hi for ch in acc_chunks[i]])
+                   for i in range(num_alphas)]),
+    )  # (num_alphas, size)
+
+    # interpolate on the coset, split into degree-n chunks (prover.rs:463-478)
+    from ..ntt import ntt as dntt
+
+    ifft = _jit(
+        ("coset_ifft", quotient_values.shape),
+        lambda lo, hi: tuple(dntt.coset_ifft(gf.GF(lo, hi))),
+    )
+    co_lo, co_hi = ifft(quotient_values.lo, quotient_values.hi)
+    limit = degree * stark.quotient_degree_factor()
+    tail_nonzero = bool(np.asarray(
+        (co_lo[:, limit:].any() | co_hi[:, limit:].any())
+    )) if limit < size else False
+    if tail_nonzero:
+        raise ValueError("quotient not divisible by Z_H — constraint violated")
+    chunks_lo = []
+    chunks_hi = []
+    for i in range(num_alphas):
+        for start in range(0, limit, degree):
+            chunks_lo.append(co_lo[i, start : start + degree])
+            chunks_hi.append(co_hi[i, start : start + degree])
+    import jax.numpy as jnp2
+
+    return gf.GF(jnp2.stack(chunks_lo), jnp2.stack(chunks_hi))
+
+
+# ---------------------------------------------------------------------------
+# openings
+# ---------------------------------------------------------------------------
+
+
+def _ext_power_table(z, n: int) -> gfe.GFE:
+    """Device [1, z, ..., z^{n-1}] for a host extension point z."""
+    ze = gfe.from_u64_pair(np.asarray(z, dtype=np.uint64))
+    fn = _jit(("extpows", n),
+              lambda r_lo, r_hi, i_lo, i_hi: tuple(
+                  x for part in gfe.powers(
+                      gfe.GFE(gf.GF(r_lo, r_hi), gf.GF(i_lo, i_hi)), n)
+                  for x in part))
+    out = fn(ze.re.lo, ze.re.hi, ze.im.lo, ze.im.hi)
+    return gfe.GFE(gf.GF(out[0], out[1]), gf.GF(out[2], out[3]))
+
+
+# ---------------------------------------------------------------------------
+# FRI (device)
+# ---------------------------------------------------------------------------
+
+
+class _DeviceExtTree:
+    """Commit-phase FRI tree over flattened extension leaves (device)."""
+
+    def __init__(self, values: gfe.GFE, arity: int, cap_height: int,
+                 hasher_kind: str):
+        import jax.numpy as jnp
+
+        from ..merkle import device as dmerkle
+
+        n = values.shape[0]
+        perm = jnp.asarray(bit_reversal_perm(n))
+        pv = values[perm]
+        self.values = pv  # bit-reversed, flat (n,) ext
+        self.arity = arity
+        n_leaves = n // arity
+
+        def leafhash(r_lo, r_hi, i_lo, i_hi):
+            # leaf words: [re0.lo, re0.hi, im0.lo, im0.hi, re1.lo, ...]
+            words = []
+            rl = r_lo.reshape(n_leaves, arity)
+            rh = r_hi.reshape(n_leaves, arity)
+            il = i_lo.reshape(n_leaves, arity)
+            ih = i_hi.reshape(n_leaves, arity)
+            for j in range(arity):
+                words.extend([rl[:, j], rh[:, j], il[:, j], ih[:, j]])
+            return tuple(dmerkle.word_digests(words, hasher_kind))
+
+        fn = _jit(("friletree", n, arity, hasher_kind), leafhash)
+        digs = list(fn(pv.re.lo, pv.re.hi, pv.im.lo, pv.im.hi))
+        self.levels_dev, self.levels_host, self.cap = build_tree_device(
+            digs, n_leaves, cap_height, hasher_kind
+        )
+        self.n_leaves = n_leaves
+        self.cap_height = cap_height
+
+    def leaf_values(self, coset_indices: np.ndarray) -> np.ndarray:
+        """(k,) coset indices -> (k, arity, 2) host u64 ext values."""
+        import jax.numpy as jnp
+
+        idx = np.asarray(coset_indices, dtype=np.int64)
+        flat = (idx[:, None] * self.arity
+                + np.arange(self.arity)[None, :]).reshape(-1)
+
+        def gather(r_lo, r_hi, i_lo, i_hi, ix):
+            return r_lo[ix], r_hi[ix], i_lo[ix], i_hi[ix]
+
+        fn = _jit(("frileaves", self.values.shape, len(flat)), gather)
+        out = fn(self.values.re.lo, self.values.re.hi,
+                 self.values.im.lo, self.values.im.hi, jnp.asarray(flat))
+        rl, rh, il, ih = [np.asarray(o, dtype=np.uint64) for o in out]
+        re = rl | (rh << np.uint64(32))
+        im = il | (ih << np.uint64(32))
+        k = len(idx)
+        return np.stack([re, im], axis=-1).reshape(k, self.arity, 2)
+
+    def prove_batch(self, coset_indices: np.ndarray) -> list:
+        import jax.numpy as jnp
+
+        k = len(coset_indices)
+        idx = np.asarray(coset_indices, dtype=np.int64)
+        num_path_levels = log2_strict(self.n_leaves) - self.cap_height
+        sib_per_level = []
+        for lvl, digs in enumerate(self.levels_dev):
+            if lvl >= num_path_levels:
+                break
+            sib = (idx >> lvl) ^ 1
+
+            def gather(lanes, s):
+                return jnp.stack([lane[s] for lane in lanes], axis=-1)
+
+            fn = _jit(("fripath", digs[0].shape, lvl, k), gather)
+            out = np.asarray(fn(tuple(digs), jnp.asarray(sib)),
+                             dtype=np.uint32)
+            sib_per_level.append(
+                np.ascontiguousarray(out).view(np.uint64).reshape(k, 4)
+            )
+        n_dev = len(self.levels_dev)
+        for h, level in enumerate(self.levels_host):
+            lvl = n_dev + h
+            if lvl >= num_path_levels:
+                break
+            sib = (idx >> lvl) ^ 1
+            sib_per_level.append(level[sib])
+        return [
+            [[int(v) for v in level[i]] for level in sib_per_level]
+            for i in range(k)
+        ]
+
+
+def prove_openings_device(instance, openings_batches, oracles, challenger,
+                          config, degree_bits, hasher_kind, timing):
+    """Device PolynomialBatch::prove_openings + fri_proof
+    (fri/oracle.rs:167-243, fri/prover.rs:20-150).
+
+    Instead of the reference's coefficient-space synthetic division, the
+    composition polynomial is built VALUES-FIRST over the LDE coset:
+    F(x) = x * sum_b alpha^{suffix_b} (C_b(x) - y_b) / (x - z_b), where
+    C_b(x) is an alpha-Horner over the oracles' (device-resident) LDE values
+    and y_b = C_b(z_b) is the alpha-reduction of the already-opened values
+    (openings_batches, same as the verifier's reduced openings). One iNTT
+    recovers the coefficients for folding — no sequential division scan.
+    """
+    import jax.numpy as jnp
+
+    from .fri import _reduce_with_alpha
+
+    fri_config = config.fri_config
+    rate_bits = fri_config.rate_bits
+    alpha_host = challenger.get_extension_challenge()
+    reduced = [
+        ge.t_arr(_reduce_with_alpha(batch, alpha_host))
+        for batch in openings_batches
+    ]
+
+    n = 1 << (degree_bits + rate_bits)
+    size_bits = degree_bits + rate_bits
+    alpha = gfe.from_u64_pair(alpha_host)
+
+    def batch_values(batch):
+        """C_b(x) over the coset + y_b = C_b(z_b) via openings-free Horner of
+        LDE values with alpha (device)."""
+        # group polynomial indices by oracle for contiguous gathers
+        acc = None
+        # Horner over the batch's polys in REVERSE order
+        polys = batch.polynomials
+        # build list of (oracle_idx, poly_idx) -> slices of each oracle lde
+        # evaluate as: acc = acc*alpha + p for p in reversed(polys)
+        # do it oracle-run by oracle-run to keep jits small
+        runs = []
+        for oi, pi in polys:
+            if runs and runs[-1][0] == oi and runs[-1][2] == pi:
+                runs[-1] = (oi, runs[-1][1], pi + 1)
+            else:
+                runs.append((oi, pi, pi + 1))
+        acc = gfe.zeros((n,))
+        for oi, p0, p1 in reversed(runs):
+            lde = oracles[oi].ensure_lde()
+
+            def horner_run(a_rlo, a_rhi, a_ilo, a_ihi, lo, hi,
+                           al_rlo, al_rhi, al_ilo, al_ihi):
+                a = gfe.GFE(gf.GF(a_rlo, a_rhi), gf.GF(a_ilo, a_ihi))
+                al = gfe.GFE(gf.GF(al_rlo, al_rhi), gf.GF(al_ilo, al_ihi))
+                x = gf.GF(lo, hi)
+                for j in range(x.shape[0] - 1, -1, -1):
+                    a = gfe.scale_add(a, al, x[j])
+                return a.re.lo, a.re.hi, a.im.lo, a.im.hi
+
+            fn = _jit(("horner", (p1 - p0, n)), horner_run)
+            out = fn(acc.re.lo, acc.re.hi, acc.im.lo, acc.im.hi,
+                     lde.lo[p0:p1], lde.hi[p0:p1],
+                     alpha.re.lo, alpha.re.hi, alpha.im.lo, alpha.im.hi)
+            acc = gfe.GFE(gf.GF(out[0], out[1]), gf.GF(out[2], out[3]))
+        return acc, len(polys)
+
+    final_values = gfe.zeros((n,))
+    xs_key = ("fri_xs", size_bits)
+
+    def xs_build():
+        xs = gf.mul(
+            gf.powers(g.primitive_root_of_unity(size_bits), n),
+            gf.full((), g.MULTIPLICATIVE_GROUP_GENERATOR),
+        )
+        return xs.lo, xs.hi
+
+    xs_lo, xs_hi = _jit(xs_key, xs_build)()
+    xs = gf.GF(xs_lo, xs_hi)
+
+    for batch, y_host in zip(instance.batches, reduced):
+        comp, npolys = batch_values(batch)
+        z = gfe.from_u64_pair(np.asarray(batch.point, dtype=np.uint64))
+        y = gfe.from_u64_pair(np.asarray(y_host, dtype=np.uint64))
+
+        def quotient_values_fn(c_rlo, c_rhi, c_ilo, c_ihi, x_lo, x_hi,
+                               z_rlo, z_rhi, z_ilo, z_ihi,
+                               y_rlo, y_rhi, y_ilo, y_ihi,
+                               f_rlo, f_rhi, f_ilo, f_ihi,
+                               s_rlo, s_rhi, s_ilo, s_ihi):
+            import jax.numpy as _j
+
+            comp = gfe.GFE(gf.GF(c_rlo, c_rhi), gf.GF(c_ilo, c_ihi))
+            xv = gf.GF(x_lo, x_hi)
+            z = gfe.GFE(gf.GF(z_rlo, z_rhi), gf.GF(z_ilo, z_ihi))
+            y = gfe.GFE(gf.GF(y_rlo, y_rhi), gf.GF(y_ilo, y_ihi))
+            fin = gfe.GFE(gf.GF(f_rlo, f_rhi), gf.GF(f_ilo, f_ihi))
+            shift = gfe.GFE(gf.GF(s_rlo, s_rhi), gf.GF(s_ilo, s_ihi))
+
+            def bc1(e, shape):
+                return gfe.GFE(
+                    gf.GF(_j.broadcast_to(e.re.lo, shape),
+                          _j.broadcast_to(e.re.hi, shape)),
+                    gf.GF(_j.broadcast_to(e.im.lo, shape),
+                          _j.broadcast_to(e.im.hi, shape)),
+                )
+
+            num = gfe.sub(comp, bc1(y, (n,)))
+            den = gfe.sub(gfe.from_base(xv), bc1(z, (n,)))
+            q = gfe.mul(num, gfe.inv(den))
+            out = gfe.add(gfe.mul(fin, bc1(shift, (n,))), q)
+            return (out.re.lo, out.re.hi, out.im.lo, out.im.hi)
+
+        fnq = _jit(("friquot", n), quotient_values_fn)
+        shift = gfe.exp_const(alpha, npolys)
+        out = fnq(comp.re.lo, comp.re.hi, comp.im.lo, comp.im.hi,
+                  xs.lo, xs.hi,
+                  z.re.lo, z.re.hi, z.im.lo, z.im.hi,
+                  y.re.lo, y.re.hi, y.im.lo, y.im.hi,
+                  final_values.re.lo, final_values.re.hi,
+                  final_values.im.lo, final_values.im.hi,
+                  shift.re.lo, shift.re.hi, shift.im.lo, shift.im.hi)
+        final_values = gfe.GFE(gf.GF(out[0], out[1]), gf.GF(out[2], out[3]))
+
+    # degree bump: F <- X * F (plonky2 PR #436): multiply values by x
+    mulx = _jit(("frimulx", n),
+                lambda r_lo, r_hi, i_lo, i_hi, x_lo, x_hi: tuple(
+                    v for part in gfe.mul_base(
+                        gfe.GFE(gf.GF(r_lo, r_hi), gf.GF(i_lo, i_hi)),
+                        gf.GF(x_lo, x_hi))
+                    for v in part))
+    out = mulx(final_values.re.lo, final_values.re.hi,
+               final_values.im.lo, final_values.im.hi, xs.lo, xs.hi)
+    values = gfe.GFE(gf.GF(out[0], out[1]), gf.GF(out[2], out[3]))
+
+    # coeffs via componentwise coset-iNTT
+    from ..ntt import ntt as dntt
+
+    def ifft2(r_lo, r_hi, i_lo, i_hi):
+        c = dntt.coset_ifft(gf.GF(jnp.stack([r_lo, i_lo]),
+                                  jnp.stack([r_hi, i_hi])))
+        return c.lo, c.hi
+
+    fn = _jit(("fri_ifft", n), ifft2)
+    clo, chi = fn(values.re.lo, values.re.hi, values.im.lo, values.im.hi)
+    coeffs = gfe.GFE(gf.GF(clo[0], chi[0]), gf.GF(clo[1], chi[1]))
+
+    return fri_proof_device(
+        oracles, coeffs, values, challenger, fri_config, degree_bits,
+        hasher_kind, timing,
+    )
+
+
+def fri_proof_device(initial_oracles, coeffs: gfe.GFE, values: gfe.GFE,
+                     challenger, config, degree_bits: int, hasher_kind: str,
+                     timing) -> FriProof:
+    import jax.numpy as jnp
+
+    from ..hash.hashers import by_name
+    from ..ntt import ntt as dntt
+
+    hasher = by_name(hasher_kind)
+    n = values.shape[0]
+    arity_schedule = config.reduction_arity_bits(degree_bits)
+
+    trees: list[_DeviceExtTree] = []
+    shift = g.MULTIPLICATIVE_GROUP_GENERATOR
+    for arity_bits in arity_schedule:
+        arity = 1 << arity_bits
+        tree = _DeviceExtTree(values, arity, config.cap_height, hasher_kind)
+        challenger.observe_cap(tree.cap, hasher)
+        trees.append(tree)
+
+        beta_host = challenger.get_extension_challenge()
+        beta = gfe.from_u64_pair(beta_host)
+        m = coeffs.shape[0]
+
+        def fold_fn(c_rlo, c_rhi, c_ilo, c_ihi, b_rlo, b_rhi, b_ilo, b_ihi):
+            c = gfe.GFE(gf.GF(c_rlo, c_rhi), gf.GF(c_ilo, c_ihi))
+            b = gfe.GFE(gf.GF(b_rlo, b_rhi), gf.GF(b_ilo, b_ihi))
+            rl = c.re.lo.reshape(-1, arity)
+            rh = c.re.hi.reshape(-1, arity)
+            il = c.im.lo.reshape(-1, arity)
+            ih = c.im.hi.reshape(-1, arity)
+            acc = gfe.zeros((m // arity,))
+
+            def bc(e):
+                return gfe.GFE(
+                    gf.GF(jnp.broadcast_to(e.re.lo, (m // arity,)),
+                          jnp.broadcast_to(e.re.hi, (m // arity,))),
+                    gf.GF(jnp.broadcast_to(e.im.lo, (m // arity,)),
+                          jnp.broadcast_to(e.im.hi, (m // arity,))),
+                )
+
+            bb = bc(b)
+            for i in range(arity - 1, -1, -1):
+                term = gfe.GFE(gf.GF(rl[:, i], rh[:, i]),
+                               gf.GF(il[:, i], ih[:, i]))
+                acc = gfe.add(gfe.mul(acc, bb), term)
+            return acc.re.lo, acc.re.hi, acc.im.lo, acc.im.hi
+
+        fn = _jit(("frifold", m, arity), fold_fn)
+        out = fn(coeffs.re.lo, coeffs.re.hi, coeffs.im.lo, coeffs.im.hi,
+                 beta.re.lo, beta.re.hi, beta.im.lo, beta.im.hi)
+        coeffs = gfe.GFE(gf.GF(out[0], out[1]), gf.GF(out[2], out[3]))
+        shift = pow(shift, arity, g.P)
+
+        def refft(r_lo, r_hi, i_lo, i_hi, sh=shift):
+            v = dntt.coset_fft(gf.GF(jnp.stack([r_lo, i_lo]),
+                                     jnp.stack([r_hi, i_hi])), sh)
+            return v.lo, v.hi
+
+        fn2 = _jit(("fri_refft", coeffs.shape[0], shift), refft)
+        vlo, vhi = fn2(coeffs.re.lo, coeffs.re.hi, coeffs.im.lo, coeffs.im.hi)
+        values = gfe.GFE(gf.GF(vlo[0], vhi[0]), gf.GF(vlo[1], vhi[1]))
+
+    # final polynomial coefficients to host
+    final_len = coeffs.shape[0] >> config.rate_bits
+    final_coeffs = gfe.to_u64_pair(
+        gfe.GFE(
+            gf.GF(np.asarray(coeffs.re.lo[:final_len]),
+                  np.asarray(coeffs.re.hi[:final_len])),
+            gf.GF(np.asarray(coeffs.im.lo[:final_len]),
+                  np.asarray(coeffs.im.hi[:final_len])),
+        )
+    )
+    for c in final_coeffs:
+        challenger.observe_extension_element(c)
+
+    # PoW on host (expected 2^pow_bits tiny Poseidon permutations)
+    current_hash = challenger.get_hash()
+    pow_witness = fri_proof_of_work(current_hash, config)
+
+    lde_n = 1 << (degree_bits + config.rate_bits)
+    query_indices = [
+        c % lde_n for c in challenger.get_n_challenges(config.num_query_rounds)
+    ]
+
+    # batched query extraction: initial oracles
+    leaves_per_oracle = [o.query_leaves(query_indices) for o in initial_oracles]
+    paths_per_oracle = [o.prove_batch(query_indices) for o in initial_oracles]
+
+    # fold trees
+    steps_per_round: list[list[FriQueryStep]] = [[] for _ in query_indices]
+    xi = np.asarray(query_indices, dtype=np.int64)
+    for i, arity_bits in enumerate(arity_schedule):
+        coset = xi >> arity_bits
+        evals = trees[i].leaf_values(coset)
+        proofs = trees[i].prove_batch(coset)
+        for qi in range(len(query_indices)):
+            steps_per_round[qi].append(
+                FriQueryStep(evals[qi], proofs[qi])
+            )
+        xi = coset
+
+    query_rounds = []
+    for qi in range(len(query_indices)):
+        initial = FriInitialTreeProof(
+            [
+                ([int(v) for v in leaves_per_oracle[o][qi]],
+                 paths_per_oracle[o][qi])
+                for o in range(len(initial_oracles))
+            ]
+        )
+        query_rounds.append(FriQueryRound(initial, steps_per_round[qi]))
+
+    return FriProof(
+        commit_phase_merkle_caps=[t.cap for t in trees],
+        query_round_proofs=query_rounds,
+        final_poly=final_coeffs,
+        pow_witness=pow_witness,
+    )
+
+
+# ---------------------------------------------------------------------------
+# orchestration (mirrors stark/prover.py transcript exactly)
+# ---------------------------------------------------------------------------
+
+
+def _openings_device(trace_batch, zs_batch, quotient_batch, z_values: gf.GF,
+                     zeta, gen: int, degree: int,
+                     num_permutation_zs: int) -> StarkOpeningSet:
+    """StarkOpeningSet::new (proof.rs:199-233) with device inner products."""
+    zeta_next = ge.scalar_mul(zeta, gen)
+    pows = _ext_power_table(zeta, degree)
+    pows_next = _ext_power_table(zeta_next, degree)
+    local_values = trace_batch.eval_at_ext(pows)
+    next_values = trace_batch.eval_at_ext(pows_next)
+    perm_ctl_zs = zs_batch.eval_at_ext(pows)
+    perm_ctl_zs_next = zs_batch.eval_at_ext(pows_next)
+    qpows = _ext_power_table(zeta, quotient_batch.coeffs.shape[1])
+    quotient_polys_open = quotient_batch.eval_at_ext(qpows)
+    # ctl_zs_last: CTL Z values at g^{n-1} = last row of the Z VALUES
+    lo = np.asarray(z_values.lo[num_permutation_zs:, -1], dtype=np.uint64)
+    hi = np.asarray(z_values.hi[num_permutation_zs:, -1], dtype=np.uint64)
+    ctl_zs_last = lo | (hi << np.uint64(32))
+    return StarkOpeningSet(
+        local_values, next_values, perm_ctl_zs, perm_ctl_zs_next,
+        ctl_zs_last, quotient_polys_open,
+    )
+
+
+def prove_single_table_device(stark, config, trace_values: gf.GF,
+                              trace_batch: DevicePolynomialBatch,
+                              ctl_data, challenger, timing,
+                              table_name: str = "?") -> StarkProof:
+    import jax.numpy as jnp
+
+    degree = trace_values.shape[1]
+    degree_bits = log2_strict(degree)
+    rate_bits = config.fri_config.rate_bits
+    cap_height = config.fri_config.cap_height
+    hasher_kind = config.merkle_hasher
+    hasher = config.hasher()
+    total_arities = sum(config.fri_config.reduction_arity_bits(degree_bits))
+    assert total_arities <= degree_bits + rate_bits - cap_height
+
+    challenger.compact()
+
+    permutation_challenges = None
+    permutation_zs: list[gf.GF] = []
+    if stark.uses_permutation_args():
+        permutation_challenges = get_n_grand_product_challenge_sets(
+            challenger, config.num_challenges, stark.permutation_batch_size()
+        )
+        with timing.scope("permutation Z polys"):
+            permutation_zs = permutation_z_polys_device(
+                stark, config, trace_values, permutation_challenges
+            )
+    num_permutation_zs = len(permutation_zs)
+
+    z_list = list(permutation_zs) + [zc.z for zc in ctl_data.zs_columns]
+    assert z_list, "No CTL?"
+    z_values = gf.GF(
+        jnp.stack([z.lo for z in z_list]),
+        jnp.stack([z.hi for z in z_list]),
+    )
+
+    with timing.scope("Z commitment"):
+        zs_batch = DevicePolynomialBatch.from_values(
+            z_values, rate_bits, cap_height, hasher_kind
+        )
+    challenger.observe_cap(zs_batch.cap, hasher)
+
+    alphas = challenger.get_n_challenges(config.num_challenges)
+
+    with timing.scope("compute quotient polys"):
+        quotient_coeffs = compute_quotient_polys_device(
+            stark, config, trace_batch, zs_batch, permutation_challenges,
+            ctl_data, alphas, degree_bits, num_permutation_zs,
+        )
+
+    with timing.scope("quotient commitment"):
+        quotient_batch = DevicePolynomialBatch.from_coeffs(
+            quotient_coeffs, rate_bits, cap_height, hasher_kind
+        )
+    challenger.observe_cap(quotient_batch.cap, hasher)
+
+    zeta = challenger.get_extension_challenge()
+    if ge.is_one(ge.exp_pow2(zeta, degree_bits)):
+        raise ValueError("opening point is in the subgroup")
+    gen = g.primitive_root_of_unity(degree_bits)
+
+    with timing.scope("openings"):
+        openings = _openings_device(
+            trace_batch, zs_batch, quotient_batch, z_values, zeta, gen,
+            degree, num_permutation_zs,
+        )
+
+    openings_batches = openings.to_fri_openings()
+    for batch in openings_batches:
+        challenger.observe_extension_elements(batch)
+
+    instance = fri_instance_for_stark(
+        stark, zeta, gen, degree_bits, len(ctl_data), config
+    )
+
+    with timing.scope("FRI opening proof"):
+        opening_proof = prove_openings_device(
+            instance, openings_batches,
+            [trace_batch, zs_batch, quotient_batch],
+            challenger, config, degree_bits, hasher_kind, timing,
+        )
+
+    # free this table's big buffers before the next table
+    trace_batch.drop_lde()
+    trace_batch.drop_tree()
+    zs_batch.drop_lde()
+    zs_batch.drop_tree()
+
+    return StarkProof(
+        trace_cap=trace_batch.cap,
+        permutation_ctl_zs_cap=zs_batch.cap,
+        quotient_polys_cap=quotient_batch.cap,
+        openings=openings,
+        opening_proof=opening_proof,
+    )
+
+
+def prove_with_traces_device(ola_stark, config: StarkConfig,
+                             trace_poly_values: list[np.ndarray],
+                             public_values: PublicValues | None = None,
+                             timing: TimingTree | None = None) -> AllProof:
+    """Device analogue of prover.prove_with_traces: same challenger
+    transcript, all heavy phases on the accelerator. trace_poly_values:
+    per table (num_cols, degree) uint64 host arrays (uploaded once)."""
+    timing = timing or TimingTree()
+    rate_bits = config.fri_config.rate_bits
+    cap_height = config.fri_config.cap_height
+    hasher_kind = config.merkle_hasher
+    hasher = config.hasher()
+
+    with timing.scope("upload traces"):
+        values_dev = [gf.from_u64(np.asarray(t, dtype=np.uint64))
+                      for t in trace_poly_values]
+
+    with timing.scope("compute trace commitments"):
+        trace_batches = [
+            DevicePolynomialBatch.from_values(v, rate_bits, cap_height,
+                                              hasher_kind)
+            for v in values_dev
+        ]
+        # the commit-phase LDEs are re-derived per table in phase 2; drop
+        # them now so peak HBM stays bounded by one table's working set
+        for b in trace_batches:
+            b.drop_lde()
+
+    challenger = Challenger()
+    for b in trace_batches:
+        challenger.observe_cap(b.cap, hasher)
+
+    with timing.scope("cross_table_lookup_data"):
+        ctl_data_per_table = ctl_data_device(
+            config, values_dev, ola_stark.cross_table_lookups, challenger
+        )
+
+    stark_proofs = []
+    for idx, stark in enumerate(ola_stark.starks):
+        with timing.scope(f"prove table {idx}"):
+            proof = prove_single_table_device(
+                stark, config, values_dev[idx], trace_batches[idx],
+                ctl_data_per_table[idx], challenger, timing,
+                table_name=str(idx),
+            )
+        stark_proofs.append(proof)
+
+    return AllProof(
+        stark_proofs=stark_proofs,
+        compress_challenges=ola_stark.compress_challenges(),
+        public_values=public_values or PublicValues(),
+    )

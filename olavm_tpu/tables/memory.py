@@ -107,30 +107,35 @@ def generate_memory_trace(cells) -> np.ndarray:
         filled = 1
 
     if padded != filled:
-        if tr[COL_MEM_IS_RW][filled - 1] == 1:
-            addr = gl.P - SPAN
-        else:
-            addr = int(tr[COL_MEM_ADDR][filled - 1]) + 1
-        tx_idx = tr[COL_MEM_TX_IDX][filled - 1]
-        env_idx = tr[COL_MEM_ENV_IDX][filled - 1]
-        first_pad = True
-        for i in range(filled, padded):
-            tr[COL_MEM_S_PROPHET][i] = 1
-            tr[COL_MEM_TX_IDX][i] = tx_idx
-            tr[COL_MEM_ENV_IDX][i] = env_idx
-            tr[COL_MEM_ADDR][i] = addr
-            tr[COL_MEM_IS_WRITE][i] = 1
-            if first_pad:
-                diff = gl.sub(addr, int(tr[COL_MEM_ADDR][filled - 1]))
-            else:
-                diff = 1
-            tr[COL_MEM_DIFF_ADDR][i] = diff
-            tr[COL_MEM_DIFF_ADDR_INV][i] = gl.inv(diff) if diff else 0
-            tr[COL_MEM_DIFF_ADDR_COND][i] = gl.P - addr
-            tr[COL_MEM_REGION_PROPHET][i] = 1
-            tr[COL_MEM_RC_VALUE][i] = tr[COL_MEM_DIFF_ADDR_COND][i]
-            addr += 1
-            first_pad = False
+        _pad_memory(tr, filled, padded)
+    return tr
+
+
+def _pad_memory(tr, filled, padded):
+    """Write-once prophet-region padding rows (generation/memory.rs),
+    vectorized (the pad span can be ~n rows)."""
+    k = padded - filled
+    last_addr = int(tr[COL_MEM_ADDR][filled - 1])
+    if tr[COL_MEM_IS_RW][filled - 1] == 1:
+        addr0 = gl.P - SPAN
+    else:
+        addr0 = last_addr + 1
+    i = slice(filled, padded)
+    addrs = np.uint64(addr0) + np.arange(k, dtype=np.uint64)
+    tr[COL_MEM_S_PROPHET][i] = 1
+    tr[COL_MEM_TX_IDX][i] = tr[COL_MEM_TX_IDX][filled - 1]
+    tr[COL_MEM_ENV_IDX][i] = tr[COL_MEM_ENV_IDX][filled - 1]
+    tr[COL_MEM_ADDR][i] = addrs
+    tr[COL_MEM_IS_WRITE][i] = 1
+    diff0 = gl.sub(addr0, last_addr)
+    tr[COL_MEM_DIFF_ADDR][i] = 1
+    tr[COL_MEM_DIFF_ADDR][filled] = diff0
+    tr[COL_MEM_DIFF_ADDR_INV][i] = 1
+    tr[COL_MEM_DIFF_ADDR_INV][filled] = gl.inv(diff0) if diff0 else 0
+    cond = np.uint64(gl.P) - addrs
+    tr[COL_MEM_DIFF_ADDR_COND][i] = cond
+    tr[COL_MEM_REGION_PROPHET][i] = 1
+    tr[COL_MEM_RC_VALUE][i] = cond
     return tr
 
 

@@ -33,3 +33,22 @@ def on_tpu() -> bool:
         return jax.devices()[0].platform not in ("cpu",)
     except Exception:
         return False
+
+
+def enable_compile_cache():
+    """Persistent XLA compile cache, keyed per machine (AOT artifacts are not
+    portable across hosts)."""
+    import hashlib
+    import platform as _platform
+
+    tag = hashlib.md5(
+        f"{_platform.node()}-{_platform.machine()}-{jax.__version__}".encode()
+    ).hexdigest()[:10]
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", f"/root/.cache/olavm_tpu_jax-{tag}"
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
