@@ -56,7 +56,7 @@ def make_mesh(n_devices: int | None = None, shape=None, axis_names=("col", "row"
 
 
 def commit_fn(mesh: Mesh, num_cols: int, degree_bits: int, rate_bits: int,
-              hasher_kind: str = "blake3"):
+              hasher_kind: str = "blake3", real_cols: int | None = None):
     """Returns a jittable sharded commit step:
     (lo, hi) of shape (num_cols, 2^degree_bits) trace VALUES ->
     8 u32 leaf-digest lanes (row-sharded) + the bit-reversed LDE leaves
@@ -73,6 +73,7 @@ def commit_fn(mesh: Mesh, num_cols: int, degree_bits: int, rate_bits: int,
     lde_bits = degree_bits + rate_bits
     lde_n = 1 << lde_bits
     assert num_cols % n_dev == 0, "pad columns to a multiple of the mesh size"
+    real_cols = num_cols if real_cols is None else real_cols
     perm = jnp.asarray(bit_reversal_perm(lde_n))
 
     def shard_step(lo, hi):
@@ -89,9 +90,11 @@ def commit_fn(mesh: Mesh, num_cols: int, degree_bits: int, rate_bits: int,
                                   tiled=True)
         t_hi = jax.lax.all_to_all(lde.hi, axes, split_axis=1, concat_axis=0,
                                   tiled=True)
-        leaves = gf.GF(t_lo.T, t_hi.T)                   # (lde_n/D, C)
+        # drop NTT-only padding columns before hashing so leaves (and the
+        # cap) equal the unpadded host commitment bit-for-bit
+        leaves = gf.GF(t_lo.T[:, :real_cols], t_hi.T[:, :real_cols])
         digests = dmerkle.leaf_digests(leaves, hasher_kind)  # 8 u32 lanes
-        return tuple(digests) + (t_lo.T, t_hi.T)
+        return tuple(digests) + (leaves.lo, leaves.hi)
 
     col_spec = P(axes, None)
     row_spec = P(axes, None)
@@ -129,10 +132,18 @@ def sharded_commit(mesh: Mesh, x: gf.GF, rate_bits: int, cap_height: int,
     degree_bits = log2_strict(n)
     lde_bits = degree_bits + rate_bits
     n_dev = mesh.size
-    commit = commit_fn(mesh, num_cols, degree_bits, rate_bits, hasher_kind)
+    pad = (-num_cols) % n_dev
+    if pad:
+        zlo = jnp.zeros((pad, n), x.lo.dtype)
+        x_in = gf.GF(jnp.concatenate([x.lo, zlo]),
+                     jnp.concatenate([x.hi, zlo]))
+    else:
+        x_in = x
+    commit = commit_fn(mesh, num_cols + pad, degree_bits, rate_bits,
+                       hasher_kind, real_cols=num_cols)
     compress = compress_level_fn(mesh, hasher_kind)
     with mesh:
-        out = jax.jit(commit)(x.lo, x.hi)
+        out = jax.jit(commit)(x_in.lo, x_in.hi)
         digs, leaves = list(out[:8]), gf.GF(out[8], out[9])
         size = 1 << lde_bits
         cfn = jax.jit(compress)

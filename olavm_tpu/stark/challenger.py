@@ -44,20 +44,20 @@ class Challenger:
             self.observe_elements(int(v) for v in arr)
             return
         self.output_buffer.clear()
-        pending = list(self.input_buffer)
+        pending = np.array(self.input_buffer, dtype=np.uint64)
+        allv = np.concatenate([pending, arr]) if pending.size else arr
+        nfull = (allv.size // RATE) * RATE
         state = np.array(self.sponge_state, dtype=np.uint64)
-        # pending elements sit in state[0:len] awaiting the next permute
-        # (overwrite-mode absorb makes this equivalent to buffering them)
-        state[: len(pending)] = np.array(pending, dtype=np.uint64)
-        buf = native.absorb_stream(state, len(pending), arr)
-        self.sponge_state = [int(v) for v in state]
-        total = len(pending) + arr.size
-        combined_tail = (pending + [int(v) for v in arr[-min(arr.size, buf):]])[
-            -buf:
-        ] if buf else []
-        self.input_buffer = [int(v) for v in combined_tail]
-        if buf == 0 and total > 0:
+        if nfull:
+            # full blocks only: the tail stays in input_buffer and must NOT
+            # touch the state (matches observe_element/_duplexing exactly)
+            left = native.absorb_stream(state, 0, allv[:nfull])
+            assert left == 0
+            self.sponge_state = [int(v) for v in state]
             self.output_buffer = list(self.sponge_state[:RATE])
+        self.input_buffer = [int(v) for v in allv[nfull:]]
+        if self.input_buffer:
+            self.output_buffer = []
 
     def observe_extension_element(self, e):
         self.observe_element(int(np.asarray(e)[..., 0]))

@@ -821,11 +821,14 @@ def prove_with_traces_device(ola_stark, config: StarkConfig,
                       for t in trace_poly_values]
 
     with timing.scope("compute trace commitments"):
-        trace_batches = [
-            DevicePolynomialBatch.from_values(v, rate_bits, cap_height,
-                                              hasher_kind)
-            for v in values_dev
-        ]
+        trace_batches = []
+        for ti, v in enumerate(values_dev):
+            logger.info("trace commit %d/%d shape=%s", ti + 1,
+                        len(values_dev), v.shape)
+            trace_batches.append(
+                DevicePolynomialBatch.from_values(v, rate_bits, cap_height,
+                                                  hasher_kind)
+            )
         # the commit-phase LDEs are re-derived per table in phase 2; drop
         # them now so peak HBM stays bounded by one table's working set
         for b in trace_batches:
@@ -842,6 +845,8 @@ def prove_with_traces_device(ola_stark, config: StarkConfig,
 
     stark_proofs = []
     for idx, stark in enumerate(ola_stark.starks):
+        logger.info("prove table %d/%d (%s)", idx + 1,
+                    len(ola_stark.starks), type(stark).__name__)
         with timing.scope(f"prove table {idx}"):
             proof = prove_single_table_device(
                 stark, config, values_dev[idx], trace_batches[idx],

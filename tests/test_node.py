@@ -11,6 +11,8 @@ from olavm_tpu.stark.config import StarkConfig
 from olavm_tpu.stark.cross_table_lookup import cross_table_lookup_data
 from olavm_tpu.tables.ola_stark import OlaStark, generate_traces
 
+pytestmark = pytest.mark.slow
+
 ASM_DIR = "/root/reference/assembler/test_data/asm"
 
 CALLER_ADDR = (1, 1, 1, 1)

@@ -12,11 +12,16 @@ from olavm_tpu.stark.proof import PublicValues
 from olavm_tpu.stark.verifier import VerificationError, verify_proof
 from olavm_tpu.tables.ola_stark import OlaStark, generate_traces
 
+pytestmark = pytest.mark.slow
+
 ASM_DIR = "/root/reference/assembler/test_data/asm"
 
 
 def prove_program(name, calldata=None):
-    process, program, tree = run_program_full(f"{ASM_DIR}/{name}", calldata)
+    path = f"{ASM_DIR}/{name}"
+    if name == "sqrt_prophet_asm.json":
+        path = f"/root/reference/circuits/benches/asm/{name}"
+    process, program, tree = run_program_full(path, calldata)
     ola = OlaStark()
     traces = generate_traces(program, ola)
     config = StarkConfig.standard_fast_config()
@@ -26,13 +31,28 @@ def prove_program(name, calldata=None):
     return ola, proof, config
 
 
+# the reference's enabled prove/verify e2e programs
+# (circuits/src/stark/ola_stark.rs:690-817)
+E2E_PROGRAMS = [
+    ("fib_asm.json", [10, 1, 2, 4185064725]),
+    ("fibo_loop.json", [10, 1, 2, 1015130275]),
+    ("fibo_recursive.json", None),
+    ("memory.json", None),
+    ("call.json", None),
+    ("comparison.json", None),
+    ("poseidon_hash.json", [0, 1239976900]),
+    ("storage_u32.json", [0, 2364819430]),
+    ("global.json", [0, 4171824493]),
+    ("malloc.json", None),
+    ("vote.json", [3, 1, 2, 3, 4, 2817135588]),
+    ("mem_gep.json", None),
+    ("mem_gep_vector.json", None),
+    ("sqrt_prophet_asm.json", [1073741824, 1, 2, 3509365327]),
+]
+
+
 @pytest.mark.parametrize(
-    "name,calldata",
-    [
-        ("fibo_loop.json", [10, 1, 2, 1015130275]),
-        ("storage_u32.json", [0, 2364819430]),
-    ],
-    ids=lambda v: v if isinstance(v, str) else "",
+    "name,calldata", E2E_PROGRAMS, ids=lambda v: v if isinstance(v, str) else ""
 )
 def test_prove_verify_e2e(name, calldata):
     ola, proof, config = prove_program(name, calldata)
