@@ -105,8 +105,74 @@ class Blake3Hasher:
         return out
 
 
+class KeccakHasher:
+    """KeccakGoldilocksConfig analogue (plonk/config.rs:141-152). Digest =
+    full 32-byte Keccak-256 viewed as 4 LE u64 words (the reference truncates
+    to 25 bytes; kept at 32 here for the uniform cap layout — see
+    hash/keccak.py)."""
+
+    kind = "keccak"
+    noop_max = 4
+
+    @staticmethod
+    def hash_leaves(leaves: np.ndarray) -> np.ndarray:
+        from . import keccak as kk
+
+        n = leaves.shape[0]
+        data = np.ascontiguousarray(
+            leaves.astype("<u8")
+        ).view(np.uint8).reshape(n, -1)
+        return np.ascontiguousarray(
+            kk.keccak256_batch(data)
+        ).view("<u8").reshape(n, 4).astype(np.uint64)
+
+    @staticmethod
+    def compress(left: np.ndarray, right: np.ndarray) -> np.ndarray:
+        from . import keccak as kk
+
+        m = left.shape[0]
+        data = np.concatenate(
+            [
+                np.ascontiguousarray(left.astype("<u8"))
+                .view(np.uint8).reshape(m, 32),
+                np.ascontiguousarray(right.astype("<u8"))
+                .view(np.uint8).reshape(m, 32),
+            ],
+            axis=1,
+        )
+        return np.ascontiguousarray(
+            kk.keccak256_batch(data)
+        ).view("<u8").reshape(m, 4).astype(np.uint64)
+
+    @staticmethod
+    def two_to_one(left, right) -> list[int]:
+        out = KeccakHasher.compress(
+            np.asarray(left, dtype=np.uint64).reshape(1, 4),
+            np.asarray(right, dtype=np.uint64).reshape(1, 4),
+        )
+        return [int(v) for v in out[0]]
+
+    @staticmethod
+    def hash_no_pad(data) -> list[int]:
+        from . import keccak as kk
+
+        buf = np.asarray(list(data), dtype="<u8").view(np.uint8)
+        return [
+            int(v)
+            for v in np.frombuffer(
+                kk.keccak256(buf.tobytes()), dtype="<u8"
+            )
+        ]
+
+    @staticmethod
+    def digest_to_fields(digest) -> list[int]:
+        # BytesHash::to_vec — same 7-byte chunking as blake3
+        return Blake3Hasher.digest_to_fields(digest)
+
+
 POSEIDON = PoseidonHasher()
 BLAKE3 = Blake3Hasher()
+KECCAK = KeccakHasher()
 
 
 def by_name(name: str):
@@ -114,4 +180,6 @@ def by_name(name: str):
         return POSEIDON
     if name == "blake3":
         return BLAKE3
+    if name == "keccak":
+        return KECCAK
     raise KeyError(f"unknown hasher {name}")

@@ -407,6 +407,56 @@ def permute_stacked_gf(state: gf.GF) -> gf.GF:
     return state
 
 
+def permute_stacked_gf_unrolled(state: gf.GF) -> gf.GF:
+    """Fully-unrolled permutation (no lax.scan): same math as
+    permute_stacked_gf with every round inlined at trace time. Used inside
+    Pallas kernel bodies (field/pallas_kernels.py) where the whole unrolled
+    round chain stays in VMEM/registers — a scan would bounce the carry
+    through memory every round."""
+    assert state.lo.shape[0] == WIDTH
+
+    def full_round(st, r):
+        rc = gf.GF(_RC_ALL.lo[r], _RC_ALL.hi[r])
+        st = gf.add(st, _bcast_row(rc, st))
+        st = _sbox_gf(st)
+        return _mds_layer_full(st)
+
+    for r in range(HALF_N_FULL_ROUNDS):
+        state = full_round(state, r)
+    state = gf.add(state, _bcast_row(_PF_CONST, state))
+    state = _mds_partial_layer_init_gf(state)
+    for i in range(N_PARTIAL_ROUNDS):
+        st = state
+        s0 = _sbox_gf(gf.GF(st.lo[0], st.hi[0]))
+        if i < N_PARTIAL_ROUNDS - 1:
+            s0 = gf.add(s0, gf.GF(_P_CONSTS.lo[i], _P_CONSTS.hi[i]))
+        rest = gf.GF(st.lo[1:], st.hi[1:])
+        extra = (1,) * (rest.lo.ndim - 1)
+        wh = gf.GF(
+            _P_WHATS.lo[i].reshape((WIDTH - 1,) + extra),
+            _P_WHATS.hi[i].reshape((WIDTH - 1,) + extra),
+        )
+        vs = gf.GF(
+            _P_VS.lo[i].reshape((WIDTH - 1,) + extra),
+            _P_VS.hi[i].reshape((WIDTH - 1,) + extra),
+        )
+        d = gf.add(
+            gf.mul_u32(s0, np.uint32(_MDS0TO0)), _sum_rows(gf.mul(rest, wh))
+        )
+        s0b = gf.GF(
+            jnp.broadcast_to(s0.lo[None], rest.lo.shape),
+            jnp.broadcast_to(s0.hi[None], rest.hi.shape),
+        )
+        new_rest = gf.add(gf.mul(s0b, vs), rest)
+        state = gf.GF(
+            jnp.concatenate([d.lo[None], new_rest.lo], axis=0),
+            jnp.concatenate([d.hi[None], new_rest.hi], axis=0),
+        )
+    for r in range(26, 30):
+        state = full_round(state, r)
+    return state
+
+
 def permute_gf(state: list[gf.GF]) -> list[gf.GF]:
     """List-of-12-lanes API over permute_stacked_gf."""
     st = gf.stack(state, axis=0)
