@@ -17,9 +17,11 @@ import jax.numpy as jnp
 import numpy as np
 
 U32 = jnp.uint32
-MASK16 = jnp.uint32(0xFFFF)
-P_LO = jnp.uint32(1)
-P_HI = jnp.uint32(0xFFFFFFFF)
+# numpy scalars (not jnp) so they inline as literals inside Pallas kernel
+# bodies instead of becoming captured device constants
+MASK16 = np.uint32(0xFFFF)
+P_LO = np.uint32(1)
+P_HI = np.uint32(0xFFFFFFFF)
 
 
 class GF(NamedTuple):
