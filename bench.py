@@ -87,16 +87,32 @@ def main():
         sys.exit(1)
 
     config = StarkConfig.standard_fast_config()
-    t0 = time.time()
+    # warmup pass: JIT-compile (and persist-cache) every device graph so the
+    # timed pass measures steady-state prove time, as the reference's number
+    # excludes cargo build time. Disable with OLAVM_BENCH_WARMUP=0.
+    warmup = os.environ.get("OLAVM_BENCH_WARMUP", "1") == "1"
+    from olavm_tpu.utils.timing import TimingTree
+
     if backend == "device":
         from olavm_tpu.stark.prover_device import prove_with_traces_device
 
-        proof = prove_with_traces_device(ola, config, traces)
+        if warmup:
+            t0 = time.time()
+            prove_with_traces_device(ola, config, traces)
+            print(f"# warmup prove (incl. compiles): {time.time()-t0:.2f}s",
+                  file=sys.stderr)
+        timing = TimingTree()
+        t0 = time.time()
+        proof = prove_with_traces_device(ola, config, traces, timing=timing)
+        t_prove = time.time() - t0
     else:
         from olavm_tpu.stark.prover import prove_with_traces
 
+        timing = TimingTree()
+        t0 = time.time()
         proof = prove_with_traces(ola, config, traces)
-    t_prove = time.time() - t0
+        t_prove = time.time() - t0
+    timing.print(min_secs=0.05, file=sys.stderr)
 
     verify_proof(ola, proof, config)
 

@@ -49,10 +49,24 @@ def cmd_prove(args):
     from ..runtime.trace_io import trace_from_json
     from ..stark.config import StarkConfig
     from ..stark.proof import PublicValues
-    from ..stark.prover import prove_with_traces
     from ..stark.serialization import serialize_all_proof
     from ..tables.ola_stark import OlaStark, generate_traces
     from ..utils.timing import TimingTree
+
+    backend = args.backend
+    if backend == "auto":
+        from ..utils.platform import on_tpu
+
+        backend = "device" if on_tpu() else "host"
+    if backend == "device":
+        from ..stark.prover_device import (
+            prove_with_traces_device as prove_with_traces,
+        )
+        from ..utils.platform import enable_compile_cache
+
+        enable_compile_cache()
+    else:
+        from ..stark.prover import prove_with_traces
 
     with open(args.input) as f:
         trace = trace_from_json(f.read())
@@ -117,6 +131,10 @@ def main(argv=None):
     p = sub.add_parser("prove", help="generate proof from an execution trace")
     p.add_argument("-i", "--input", required=True)
     p.add_argument("-o", "--output", required=True)
+    p.add_argument("-b", "--backend", choices=["auto", "host", "device"],
+                   default="auto",
+                   help="prover backend: device (TPU) or host (CPU); "
+                        "auto picks device when an accelerator is present")
     p.set_defaults(fn=cmd_prove)
 
     p = sub.add_parser("verify", help="verify a generated proof")

@@ -89,6 +89,67 @@ def word_digests(words: list, hasher_kind: str, byte_len: int | None = None) -> 
     return out
 
 
+# ---------------------------------------------------------------------------
+# streaming leaf hashing: absorb column blocks of a (C, size) LDE without the
+# full LDE ever being resident.  The leaf for position i is the i-th column
+# (C field elements = 2C u32 words).  Blocks must start at 8-column (one
+# blake3 64-byte block / one poseidon rate) boundaries; any block but the
+# last must also END on one.
+# ---------------------------------------------------------------------------
+
+
+def leaf_stream_init(xp, shape, hasher_kind: str) -> list:
+    """Fresh absorber state (list of u32 lanes of `shape`)."""
+    if hasher_kind == "blake3":
+        return [xp.full(shape, b3.IV[i], np.uint32) for i in range(8)]
+    # poseidon: width-12 zero state as 24 u32 lanes (lo,hi interleaved)
+    z = xp.zeros(shape, np.uint32)
+    return [z] * 24
+
+
+def leaf_stream_absorb(xp, state: list, words: list, col_offset: int,
+                       total_cols: int, hasher_kind: str) -> list:
+    """Absorb `len(words)//2` columns' word lanes starting at column
+    `col_offset` of a `total_cols`-column leaf. Returns the new state."""
+    k = len(words) // 2
+    assert col_offset % 8 == 0
+    assert (col_offset + k == total_cols) or (k % 8 == 0)
+    shape = words[0].shape
+    if hasher_kind == "blake3":
+        total_bytes = 8 * total_cols
+        nblocks = max(1, (total_bytes + 63) // 64)
+        cv = list(state)
+        zero = xp.zeros(shape, np.uint32)
+        for local in range(0, 2 * k, 16):
+            b = (2 * col_offset + local) // 16  # global 64-byte block index
+            m = [words[local + w] if local + w < 2 * k else zero
+                 for w in range(16)]
+            blen = min(64, total_bytes - 64 * b)
+            flags = (b3.CHUNK_START if b == 0 else 0) | (
+                (b3.CHUNK_END | b3.ROOT) if b == nblocks - 1 else 0
+            )
+            cv = b3.compress(xp, cv, m, blen, flags, shape, counter=0)
+        return cv
+    # poseidon rate-8 overwrite sponge
+    st = [gf.GF(state[2 * i], state[2 * i + 1]) for i in range(pos.WIDTH)]
+    for local in range(0, k, 8):
+        chunk = min(8, k - local)
+        for i in range(chunk):
+            st[i] = gf.GF(words[2 * (local + i)], words[2 * (local + i) + 1])
+        st = pos.permute_gf(st)
+    out = []
+    for e in st:
+        out.extend([e.lo, e.hi])
+    return out
+
+
+def leaf_stream_finalize(state: list, hasher_kind: str) -> list:
+    """State after the final absorb -> 8 u32 digest lanes."""
+    if hasher_kind == "blake3":
+        return list(state)
+    return list(state[:8])
+
+
 def compress_digests(left: list, right: list, hasher_kind: str) -> list:
     """two_to_one over parallel digest lanes (8 u32 lanes each side)."""
     if hasher_kind == "blake3":

@@ -53,6 +53,12 @@ class BaseOps:
             acc = g.add_arr(acc, t)
         return acc
 
+    @staticmethod
+    def indicator_eq_const(a, c: int):
+        """Elementwise 1 where a == c else 0 (the reference's data-dependent
+        packed-value selector, memory_stark.rs:290-298)."""
+        return (np.asarray(a) == np.uint64(c % g.P)).astype(np.uint64)
+
 
 class GfOps:
     """Device ops over two-limb gf.GF arrays (jnp; jit/Pallas-safe)."""
@@ -85,6 +91,16 @@ class GfOps:
         for t in terms[1:]:
             acc = gf.add(acc, t)
         return acc
+
+    @staticmethod
+    def indicator_eq_const(a, c: int):
+        import jax.numpy as jnp
+
+        eqmask = gf.eq(a, gf.full((), c % g.P))
+        one = jnp.uint32(1)
+        zero = jnp.uint32(0)
+        return gf.GF(jnp.where(eqmask, one, zero),
+                     jnp.zeros_like(a.lo))
 
 
 class ExtOps:
@@ -120,3 +136,9 @@ class ExtOps:
         for t in terms[1:]:
             acc = ge.add(acc, t)
         return acc
+
+    @staticmethod
+    def indicator_eq_const(a, c: int):
+        arr = np.asarray(a).reshape(2)
+        hit = int(arr[0]) == c % g.P and int(arr[1]) == 0
+        return ge.from_base(1 if hit else 0)

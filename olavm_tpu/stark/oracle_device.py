@@ -1,15 +1,18 @@
 """Device-resident polynomial commitment: the TPU analogue of the reference
 PolynomialBatch (plonky2/plonky2/src/fri/oracle.rs:30-164).
 
-Everything big lives in device HBM as two-limb uint32 GF arrays in COLUMN-
-major natural order (num_polys, lde_size):
+Memory architecture (round 3 — the round-2 version kept every oracle's full
+8x LDE resident and OOMed a 16 GB v5e at the 2^20 reference workload):
 
-  values (C, N) --intt--> coeffs (C, N) --coset_lde--> lde (C, N<<rate)
-     leaf digests hashed straight off the (C, size) planes (leaf i is a
-     column slice; zero transposes), bit-reversal applied to the DIGEST
-     lanes (32B/leaf) instead of the leaf matrix (8C bytes/leaf),
-     tree levels built one jit per level (chained hash graphs explode the
-     XLA:CPU compiler), small tail levels finished on host.
+  * Only the COEFFICIENTS (C, n) and the Merkle digest levels stay resident.
+  * The LDE is STREAMED: per column block, one fused jit does
+    coset-LDE -> absorb into per-leaf running hash states
+    (merkle/device.leaf_stream_*), so at most one ~1 GB block of LDE values
+    exists at a time.  This replaces the reference's lde_values +
+    MerkleTree::new_v2 (fri/oracle.rs:101-164) which keeps the whole LDE.
+  * FRI query leaf values are recomputed by DIRECT polynomial evaluation at
+    the ~28 queried coset points (exact field arithmetic == the LDE values),
+    instead of gathering from a resident LDE.
 
 Only caps, query leaf values, and Merkle paths ever cross device->host (the
 tunnel's D2H path is ~1000x slower than H2D; see VERDICT round 1).
@@ -49,6 +52,13 @@ def _col_chunks(num_cols: int, n: int):
     return [(s, min(num_cols, s + block)) for s in range(0, num_cols, block)]
 
 
+def _col_chunks_aligned(num_cols: int, n: int, align: int = 8):
+    """Column blocks sized by _CHUNK_ELEMS, starting on `align` boundaries
+    (hash-absorption block boundaries)."""
+    block = max(align, (_CHUNK_ELEMS // max(n, 1)) // align * align)
+    return [(s, min(num_cols, s + block)) for s in range(0, num_cols, block)]
+
+
 def intt_chunked(values: gf.GF) -> gf.GF:
     """(C, N) values -> coefficients, column-block chunked."""
     import jax.numpy as jnp
@@ -56,12 +66,18 @@ def intt_chunked(values: gf.GF) -> gf.GF:
     C, n = values.shape
     fn = _jit(("intt", n), lambda lo, hi: tuple(dntt.intt(gf.GF(lo, hi))))
     outs = [fn(values.lo[s:e], values.hi[s:e]) for s, e in _col_chunks(C, n)]
+    if len(outs) == 1:
+        return gf.GF(*outs[0])
     return gf.GF(jnp.concatenate([o[0] for o in outs]),
                  jnp.concatenate([o[1] for o in outs]))
 
 
 def coset_lde_chunked(coeffs: gf.GF, rate_bits: int) -> gf.GF:
-    """(C, N) coeffs -> (C, N<<rate) coset-LDE values, chunked."""
+    """(C, N) coeffs -> (C, N<<rate) coset-LDE values, chunked.
+
+    NOTE: materializes the full output — only call for SMALL rates/sizes
+    (e.g. the quotient coset); the commit path streams instead.
+    """
     import jax.numpy as jnp
 
     C, n = coeffs.shape
@@ -71,6 +87,8 @@ def coset_lde_chunked(coeffs: gf.GF, rate_bits: int) -> gf.GF:
         lambda lo, hi: tuple(dntt.coset_lde(gf.GF(lo, hi), rate_bits)),
     )
     outs = [fn(coeffs.lo[s:e], coeffs.hi[s:e]) for s, e in _col_chunks(C, big)]
+    if len(outs) == 1:
+        return gf.GF(*outs[0])
     return gf.GF(jnp.concatenate([o[0] for o in outs]),
                  jnp.concatenate([o[1] for o in outs]))
 
@@ -81,27 +99,46 @@ def ntt_chunked(coeffs: gf.GF) -> gf.GF:
     C, n = coeffs.shape
     fn = _jit(("ntt", n), lambda lo, hi: tuple(dntt.ntt(gf.GF(lo, hi))))
     outs = [fn(coeffs.lo[s:e], coeffs.hi[s:e]) for s, e in _col_chunks(C, n)]
+    if len(outs) == 1:
+        return gf.GF(*outs[0])
     return gf.GF(jnp.concatenate([o[0] for o in outs]),
                  jnp.concatenate([o[1] for o in outs]))
 
 
-def _leaf_digests_cols(lde: gf.GF, hasher_kind: str) -> list:
-    """Digest lanes for leaves = columns of the (C, size) LDE, natural order.
+def _streamed_leaf_digests(coeffs: gf.GF, rate_bits: int,
+                           hasher_kind: str) -> list:
+    """Leaf digest lanes for the commit tree WITHOUT materializing the full
+    LDE: per aligned column block, a fused jit computes the block's coset-LDE
+    and absorbs it into the running per-leaf hash states."""
+    import jax.numpy as jnp
 
-    Leaf i's little-endian u64 words are (lo[0,i], hi[0,i], lo[1,i], ...) —
-    exactly interleaved column slices, no transpose materialized.
-    """
-    C, size = lde.shape
-    words = []
-    for c in range(C):
-        words.append(lde.lo[c])
-        words.append(lde.hi[c])
+    C, n = coeffs.shape
+    size = n << rate_bits
+
     if C <= 4:
-        import jax.numpy as jnp
-
+        # noop leaves: digest lanes ARE the (zero-padded) LDE values
+        lde = coset_lde_chunked(coeffs, rate_bits)
         zero = jnp.zeros((size,), jnp.uint32)
-        return [words[i] if i < 2 * C else zero for i in range(8)]
-    return dmerkle.word_digests(words, hasher_kind)
+        lanes = []
+        for i in range(4):
+            lanes.append(lde.lo[i] if i < C else zero)
+            lanes.append(lde.hi[i] if i < C else zero)
+        return lanes
+
+    state = dmerkle.leaf_stream_init(jnp, (size,), hasher_kind)
+    for s, e in _col_chunks_aligned(C, size):
+        def blk(lo, hi, *st, _s=s, _e=e):
+            lde = dntt.coset_lde(gf.GF(lo, hi), rate_bits)
+            words = []
+            for c in range(_e - _s):
+                words.append(lde.lo[c])
+                words.append(lde.hi[c])
+            return tuple(dmerkle.leaf_stream_absorb(
+                jnp, list(st), words, _s, C, hasher_kind))
+
+        fn = _jit(("commitblk", n, rate_bits, s, e, C, hasher_kind), blk)
+        state = list(fn(coeffs.lo[s:e], coeffs.hi[s:e], *state))
+    return dmerkle.leaf_stream_finalize(state, hasher_kind)
 
 
 def build_tree_device(leaf_digs: list, size: int, cap_height: int,
@@ -136,19 +173,68 @@ def build_tree_device(leaf_digs: list, size: int, cap_height: int,
     return levels_dev, levels_host, host_top
 
 
-class DevicePolynomialBatch:
-    """Commitment with device-resident coeffs/LDE/tree.
+def eval_at_points(coeffs: gf.GF, points: list[int]) -> np.ndarray:
+    """Direct evaluation p_c(x_k) for host-known points: (k, C) host u64.
 
-    polynomials/lde are (C, n)/(C, size) GF in NATURAL evaluation order;
-    Merkle leaves are the LDE columns in BIT-REVERSED order (digest lanes
-    permuted, matching the host PolynomialBatch/reference layout).
+    Exact modular arithmetic — identical field elements to what the coset-LDE
+    would hold at those positions (used for FRI query leaves so the LDE need
+    not stay resident; reference gathers from lde_values instead,
+    fri/oracle.rs:141-164)."""
+    import jax.numpy as jnp
+
+    C, n = coeffs.shape
+    k = len(points)
+    bases = gf.from_u64(np.array([p % g.P for p in points], dtype=np.uint64))
+
+    def pwtab(b_lo, b_hi):
+        base = gf.GF(b_lo, b_hi)  # (k,)
+        out = gf.ones((k, 1))
+        shift = base
+        length = 1
+        while length < n:
+            step = min(length, n - length)
+            nxt = gf.mul(out[:, :step],
+                         gf.GF(shift.lo[:, None], shift.hi[:, None]))
+            out = gf.concatenate([out, nxt], axis=1)
+            shift = gf.square(shift)
+            length += step
+        return out.lo, out.hi
+
+    pw_lo, pw_hi = _jit(("qpowtab", k, n), pwtab)(bases.lo, bases.hi)
+
+    def ev(c_lo, c_hi, p_lo, p_hi):
+        c = gf.GF(c_lo, c_hi)
+        outs_lo, outs_hi = [], []
+        for t in range(k):
+            prod = gf.mul(c, gf.GF(p_lo[t][None, :], p_hi[t][None, :]))
+            r = gf.sum_reduce(prod, -1)
+            outs_lo.append(r.lo)
+            outs_hi.append(r.hi)
+        return jnp.stack(outs_lo), jnp.stack(outs_hi)
+
+    los, his = [], []
+    for s, e in _col_chunks(C, n):
+        fn = _jit(("qeval", k, e - s, n), ev)
+        lo, hi = fn(coeffs.lo[s:e], coeffs.hi[s:e], pw_lo, pw_hi)
+        los.append(np.asarray(lo, dtype=np.uint64))
+        his.append(np.asarray(hi, dtype=np.uint64))
+    lo = np.concatenate(los, axis=1)
+    hi = np.concatenate(his, axis=1)
+    return lo | (hi << np.uint64(32))
+
+
+class DevicePolynomialBatch:
+    """Commitment with device-resident coeffs + digest tree (LDE streamed).
+
+    polynomials are (C, n) GF coefficients in NATURAL order; Merkle leaves
+    are the LDE columns in BIT-REVERSED order (digest lanes permuted,
+    matching the host PolynomialBatch/reference layout).
     """
 
-    def __init__(self, coeffs: gf.GF, lde: gf.GF, levels_dev, levels_host,
+    def __init__(self, coeffs: gf.GF, levels_dev, levels_host,
                  cap: np.ndarray, degree_log: int, rate_bits: int,
                  hasher_kind: str):
         self.coeffs = coeffs
-        self.lde = lde
         self.levels_dev = levels_dev
         self.levels_host = levels_host
         self._cap = cap
@@ -173,17 +259,18 @@ class DevicePolynomialBatch:
 
         C, n = coeffs.shape
         degree_log = log2_strict(n)
-        lde = coset_lde_chunked(coeffs, rate_bits)
         size = n << rate_bits
-        digs = _leaf_digests_cols(lde, hasher_kind)
+        digs = _streamed_leaf_digests(coeffs, rate_bits, hasher_kind)
         # bit-reverse the digest lanes -> leaf order of the reference tree
         perm = jnp.asarray(bit_reversal_perm(size))
-        digs = [d[perm] for d in digs]
+        brev = _jit(("brevlanes", size, len(digs)),
+                    lambda p, *ds: tuple(d[p] for d in ds))
+        digs = list(brev(perm, *digs))
         levels_dev, levels_host, cap = build_tree_device(
             digs, size, cap_height, hasher_kind
         )
         return DevicePolynomialBatch(
-            coeffs, lde, levels_dev, levels_host, cap, degree_log, rate_bits,
+            coeffs, levels_dev, levels_host, cap, degree_log, rate_bits,
             hasher_kind,
         )
 
@@ -201,17 +288,14 @@ class DevicePolynomialBatch:
     def lde_bits(self) -> int:
         return self.degree_log + self.rate_bits
 
-    def ensure_lde(self) -> gf.GF:
-        if self.lde is None:
-            self.lde = coset_lde_chunked(self.coeffs, self.rate_bits)
-        return self.lde
-
-    def drop_lde(self):
-        self.lde = None
-
     def drop_tree(self):
         self.levels_dev = None
         self.levels_host = None
+
+    def free(self):
+        """Release all device buffers (after this table's proof is done)."""
+        self.coeffs = None
+        self.drop_tree()
 
     # --- openings -----------------------------------------------------------
 
@@ -243,22 +327,15 @@ class DevicePolynomialBatch:
     # --- FRI queries ----------------------------------------------------
 
     def query_leaves(self, x_indices: list[int]) -> np.ndarray:
-        """Leaf values for bit-reversed leaf indices: (k, C) host u64."""
-        import jax.numpy as jnp
-
+        """Leaf values for bit-reversed leaf indices: (k, C) host u64,
+        recomputed by direct evaluation (no resident LDE)."""
         bits = self.lde_bits
         perm = bit_reversal_perm(1 << bits)
         nat = perm[np.asarray(x_indices)]
-        lde = self.ensure_lde()
-
-        def gather(lo, hi, idx):
-            return lo[:, idx], hi[:, idx]
-
-        fn = _jit(("qleaves", lde.shape), gather)
-        lo, hi = fn(lde.lo, lde.hi, jnp.asarray(nat))
-        lo = np.asarray(lo, dtype=np.uint64)
-        hi = np.asarray(hi, dtype=np.uint64)
-        return (lo | (hi << np.uint64(32))).T
+        w = g.primitive_root_of_unity(bits)
+        shift = g.MULTIPLICATIVE_GROUP_GENERATOR
+        points = [g.mul(shift, pow(w, int(j), g.P)) for j in nat]
+        return eval_at_points(self.coeffs, points)
 
     def prove_batch(self, x_indices: list[int]) -> list[list[list[int]]]:
         """Merkle paths for a batch of leaf indices: [k][level][4]."""

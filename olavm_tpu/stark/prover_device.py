@@ -48,6 +48,7 @@ from .oracle_device import (
     DevicePolynomialBatch,
     _jit,
     build_tree_device,
+    coset_lde_chunked,
     intt_chunked,
 )
 from .ops import GfOps
@@ -124,7 +125,12 @@ def compute_quotient_polys_device(stark, config, trace_batch, zs_batch,
                                   degree_bits, num_permutation_zs) -> gf.GF:
     """Device compute_quotient_polys (prover.rs:571-705): the same
     stark.eval_packed constraint code, traced once per row-chunk shape, with
-    all Fiat-Shamir scalars passed as a device bank."""
+    all Fiat-Shamir scalars passed as a device bank.
+
+    Evaluates directly on the 2^(degree+qdb) quotient coset (the stride-step
+    subset the reference reads from its 8x LDE, prover.rs:571-620) — the full
+    8x LDE is never materialized (round-2 OOM root cause, VERDICT weak #3)."""
+    import jax
     import jax.numpy as jnp
 
     degree = 1 << degree_bits
@@ -133,13 +139,23 @@ def compute_quotient_polys_device(stark, config, trace_batch, zs_batch,
         qdb += 1
     rate_bits = config.fri_config.rate_bits
     assert qdb <= rate_bits
-    step = 1 << (rate_bits - qdb)
     next_step = 1 << qdb
     size = degree << qdb
 
     consts = _coset_consts(degree_bits, qdb)
-    trace_lde = trace_batch.ensure_lde()
-    zs_lde = zs_batch.ensure_lde()
+    # trace/zs values on the quotient coset g*H', |H'| = degree << qdb, in
+    # natural order j -> g * w^j  (== the reference's stride-step reads)
+    trace_q = coset_lde_chunked(trace_batch.coeffs, qdb)
+    zs_q = coset_lde_chunked(zs_batch.coeffs, qdb)
+
+    def _rolled(x: gf.GF) -> gf.GF:
+        fn = _jit(("rollq", x.shape, next_step),
+                  lambda lo, hi: (jnp.roll(lo, -next_step, axis=1),
+                                  jnp.roll(hi, -next_step, axis=1)))
+        return gf.GF(*fn(x.lo, x.hi))
+
+    trace_qn = _rolled(trace_q)
+    zs_qn = _rolled(zs_q)
 
     # ----- scalar bank: alphas, permutation challenges, ctl challenges -----
     bank_vals = [int(a) for a in alphas]
@@ -177,7 +193,17 @@ def compute_quotient_polys_device(stark, config, trace_batch, zs_batch,
 
     def chunk_fn(tl_lo, tl_hi, tn_lo, tn_hi, zl_lo, zl_hi, zn_lo, zn_hi,
                  zlast_lo, zlast_hi, lf_lo, lf_hi, ll_lo, ll_hi,
-                 zh_lo, zh_hi, bank_lo, bank_hi):
+                 zh_lo, zh_hi, bank_lo, bank_hi, start):
+        def row_slice(a):
+            return jax.lax.dynamic_slice_in_dim(a, start, R, axis=a.ndim - 1)
+
+        tl_lo, tl_hi, tn_lo, tn_hi, zl_lo, zl_hi, zn_lo, zn_hi = (
+            row_slice(a) for a in (tl_lo, tl_hi, tn_lo, tn_hi,
+                                   zl_lo, zl_hi, zn_lo, zn_hi))
+        zlast_lo, zlast_hi, lf_lo, lf_hi, ll_lo, ll_hi, zh_lo, zh_hi = (
+            row_slice(a) for a in (zlast_lo, zlast_hi, lf_lo, lf_hi,
+                                   ll_lo, ll_hi, zh_lo, zh_hi))
+
         def bscalar(i):
             return gf.GF(bank_lo[i], bank_hi[i])
 
@@ -240,28 +266,25 @@ def compute_quotient_polys_device(stark, config, trace_batch, zs_batch,
             outs.extend([q.lo, q.hi])
         return tuple(outs)
 
-    key = ("quotient", type(stark).__name__, trace_lde.shape, zs_lde.shape,
+    key = ("quotient", type(stark).__name__, trace_q.shape, zs_q.shape,
            R, num_permutation_zs, len(ctl_meta), perm_meta)
     fn = _jit(key, chunk_fn)
 
     acc_chunks = [[] for _ in range(num_alphas)]
     for c in range(num_chunks):
-        rows = np.arange(c * R, (c + 1) * R, dtype=np.int64)
-        li = jnp.asarray(rows * step)
-        ni = jnp.asarray(((rows + next_step) % size) * step)
         outs = fn(
-            trace_lde.lo[:, li], trace_lde.hi[:, li],
-            trace_lde.lo[:, ni], trace_lde.hi[:, ni],
-            zs_lde.lo[:, li], zs_lde.hi[:, li],
-            zs_lde.lo[:, ni], zs_lde.hi[:, ni],
-            consts["z_last"].lo[li], consts["z_last"].hi[li],
-            consts["lagrange_first"].lo[li], consts["lagrange_first"].hi[li],
-            consts["lagrange_last"].lo[li], consts["lagrange_last"].hi[li],
-            consts["zh_inv"].lo[li], consts["zh_inv"].hi[li],
+            trace_q.lo, trace_q.hi, trace_qn.lo, trace_qn.hi,
+            zs_q.lo, zs_q.hi, zs_qn.lo, zs_qn.hi,
+            consts["z_last"].lo, consts["z_last"].hi,
+            consts["lagrange_first"].lo, consts["lagrange_first"].hi,
+            consts["lagrange_last"].lo, consts["lagrange_last"].hi,
+            consts["zh_inv"].lo, consts["zh_inv"].hi,
             bank.lo, bank.hi,
+            jnp.int32(c * R),
         )
         for i in range(num_alphas):
             acc_chunks[i].append(gf.GF(outs[2 * i], outs[2 * i + 1]))
+    del trace_q, trace_qn, zs_q, zs_qn
 
     quotient_values = gf.GF(
         jnp.stack([jnp.concatenate([ch.lo for ch in acc_chunks[i]])
@@ -436,15 +459,14 @@ def prove_openings_device(instance, openings_batches, oracles, challenger,
     alpha = gfe.from_u64_pair(alpha_host)
 
     def batch_values(batch):
-        """C_b(x) over the coset + y_b = C_b(z_b) via openings-free Horner of
-        LDE values with alpha (device)."""
-        # group polynomial indices by oracle for contiguous gathers
-        acc = None
-        # Horner over the batch's polys in REVERSE order
+        """C_b(x) over the coset via Horner with alpha (device), computed in
+        fused (coset-LDE -> Horner) column blocks so no oracle's full 8x LDE
+        is ever resident (round-3 memory architecture)."""
+        from .oracle_device import _col_chunks
+
+        # Horner over the batch's polys in REVERSE order, as contiguous
+        # per-oracle coefficient runs split into column blocks
         polys = batch.polynomials
-        # build list of (oracle_idx, poly_idx) -> slices of each oracle lde
-        # evaluate as: acc = acc*alpha + p for p in reversed(polys)
-        # do it oracle-run by oracle-run to keep jits small
         runs = []
         for oi, pi in polys:
             if runs and runs[-1][0] == oi and runs[-1][2] == pi:
@@ -452,23 +474,30 @@ def prove_openings_device(instance, openings_batches, oracles, challenger,
             else:
                 runs.append((oi, pi, pi + 1))
         acc = gfe.zeros((n,))
+        rate_bits_l = rate_bits
         for oi, p0, p1 in reversed(runs):
-            lde = oracles[oi].ensure_lde()
+            coeffs = oracles[oi].coeffs
+            deg_n = coeffs.shape[1]
+            blocks = [(p0 + s, p0 + e)
+                      for s, e in _col_chunks(p1 - p0, n)]
+            for s, e in reversed(blocks):
+                def horner_lde(a_rlo, a_rhi, a_ilo, a_ihi, lo, hi,
+                               al_rlo, al_rhi, al_ilo, al_ihi):
+                    from ..ntt import ntt as _dntt
 
-            def horner_run(a_rlo, a_rhi, a_ilo, a_ihi, lo, hi,
-                           al_rlo, al_rhi, al_ilo, al_ihi):
-                a = gfe.GFE(gf.GF(a_rlo, a_rhi), gf.GF(a_ilo, a_ihi))
-                al = gfe.GFE(gf.GF(al_rlo, al_rhi), gf.GF(al_ilo, al_ihi))
-                x = gf.GF(lo, hi)
-                for j in range(x.shape[0] - 1, -1, -1):
-                    a = gfe.scale_add(a, al, x[j])
-                return a.re.lo, a.re.hi, a.im.lo, a.im.hi
+                    a = gfe.GFE(gf.GF(a_rlo, a_rhi), gf.GF(a_ilo, a_ihi))
+                    al = gfe.GFE(gf.GF(al_rlo, al_rhi), gf.GF(al_ilo, al_ihi))
+                    x = _dntt.coset_lde(gf.GF(lo, hi), rate_bits_l)
+                    for j in range(x.shape[0] - 1, -1, -1):
+                        a = gfe.scale_add(a, al, x[j])
+                    return a.re.lo, a.re.hi, a.im.lo, a.im.hi
 
-            fn = _jit(("horner", (p1 - p0, n)), horner_run)
-            out = fn(acc.re.lo, acc.re.hi, acc.im.lo, acc.im.hi,
-                     lde.lo[p0:p1], lde.hi[p0:p1],
-                     alpha.re.lo, alpha.re.hi, alpha.im.lo, alpha.im.hi)
-            acc = gfe.GFE(gf.GF(out[0], out[1]), gf.GF(out[2], out[3]))
+                fn = _jit(("horner_lde", (e - s, deg_n), rate_bits_l),
+                          horner_lde)
+                out = fn(acc.re.lo, acc.re.hi, acc.im.lo, acc.im.hi,
+                         coeffs.lo[s:e], coeffs.hi[s:e],
+                         alpha.re.lo, alpha.re.hi, alpha.im.lo, alpha.im.hi)
+                acc = gfe.GFE(gf.GF(out[0], out[1]), gf.GF(out[2], out[3]))
         return acc, len(polys)
 
     final_values = gfe.zeros((n,))
@@ -789,15 +818,15 @@ def prove_single_table_device(stark, config, trace_values: gf.GF,
         )
 
     # free this table's big buffers before the next table
-    trace_batch.drop_lde()
-    trace_batch.drop_tree()
-    zs_batch.drop_lde()
-    zs_batch.drop_tree()
+    caps = (trace_batch.cap, zs_batch.cap, quotient_batch.cap)
+    trace_batch.free()
+    zs_batch.free()
+    quotient_batch.free()
 
     return StarkProof(
-        trace_cap=trace_batch.cap,
-        permutation_ctl_zs_cap=zs_batch.cap,
-        quotient_polys_cap=quotient_batch.cap,
+        trace_cap=caps[0],
+        permutation_ctl_zs_cap=caps[1],
+        quotient_polys_cap=caps[2],
         openings=openings,
         opening_proof=opening_proof,
     )
@@ -829,10 +858,6 @@ def prove_with_traces_device(ola_stark, config: StarkConfig,
                 DevicePolynomialBatch.from_values(v, rate_bits, cap_height,
                                                   hasher_kind)
             )
-        # the commit-phase LDEs are re-derived per table in phase 2; drop
-        # them now so peak HBM stays bounded by one table's working set
-        for b in trace_batches:
-            b.drop_lde()
 
     challenger = Challenger()
     for b in trace_batches:
@@ -854,6 +879,9 @@ def prove_with_traces_device(ola_stark, config: StarkConfig,
                 table_name=str(idx),
             )
         stark_proofs.append(proof)
+        # free everything only this table needed (values, ctl Z arrays)
+        values_dev[idx] = None
+        ctl_data_per_table[idx] = None
 
     return AllProof(
         stark_proofs=stark_proofs,

@@ -1,14 +1,29 @@
-"""Binary proof serialization, a self-consistent format modeled on (but not
-byte-interchangeable with) the reference circuits/src/stark/serialization.rs.
+"""Binary proof serialization, BYTE-COMPATIBLE with the reference
+circuits/src/stark/serialization.rs (write_all_proof at :377).
 
-Little-endian u64 field elements; structure order matches the reference
-writer: per-table StarkProof (trace cap, Z cap, quotient cap, openings, FRI
-proof), then compress challenges. Deliberate deviations from the reference
-Buffer widths: small counts (stark_proofs, FRI evals_proofs, query steps,
-commit-phase caps, compress_challenges) are written as u8 where the reference
-uses u32, and PublicValues are appended at the end (the reference
-write_all_proof omits them). Round-trip (serialize -> deserialize -> verify)
-is covered by tests/test_serialization.py.
+Field-by-field layout, all little-endian (cited against serialization.rs):
+  write_all_proof:          u32 #stark_proofs, then each write_proof,
+                            then compress_challenges as write_field_vec
+                            (u32 count + u64s); PublicValues are NOT
+                            serialized (serialization.rs:391 comment) —
+                            deserialize returns PublicValues() defaults,
+                            exactly like the reference's read_all_proof.
+  write_proof (:364):       trace cap, Z cap, quotient cap (write_merkle_cap
+                            :125 = u32 count + 32-byte hashes), opening set,
+                            fri proof.
+  write_opening_set (:164): local/next/perm_ctl_zs/perm_ctl_zs_next as
+                            field_ext_vec (u32 count + D=2 u64s each),
+                            ctl_zs_last as field_vec, quotient_polys ext vec.
+  write_fri_proof (:317):   cap vec (u32 count), query rounds (u32 count;
+                            per round: initial proof = u32 #evals_proofs +
+                            (field_vec, merkle_proof) pairs; u32 #steps +
+                            (ext vec, merkle_proof)), final_poly ext vec,
+                            pow_witness u64.
+  write_merkle_proof (:195): u8 sibling count + 32-byte hashes.
+
+Round-trip (serialize -> deserialize -> verify) is covered by
+tests/test_serialization.py; a golden-bytes regression fixture guards the
+layout.
 """
 
 from __future__ import annotations
@@ -128,16 +143,16 @@ def _read_openings(buf: Buffer) -> StarkOpeningSet:
 
 
 def _write_fri_proof(buf: Buffer, fp: FriProof):
-    buf.write_u8(len(fp.commit_phase_merkle_caps))
+    buf.write_u32(len(fp.commit_phase_merkle_caps))
     for cap in fp.commit_phase_merkle_caps:
         buf.write_cap(cap)
     buf.write_u32(len(fp.query_round_proofs))
     for qr in fp.query_round_proofs:
-        buf.write_u8(len(qr.initial_trees_proof.evals_proofs))
+        buf.write_u32(len(qr.initial_trees_proof.evals_proofs))
         for leaf, path in qr.initial_trees_proof.evals_proofs:
             buf.write_field_vec(leaf)
             buf.write_merkle_proof(path)
-        buf.write_u8(len(qr.steps))
+        buf.write_u32(len(qr.steps))
         for st in qr.steps:
             buf.write_ext_vec(st.evals)
             buf.write_merkle_proof(st.merkle_proof)
@@ -146,16 +161,16 @@ def _write_fri_proof(buf: Buffer, fp: FriProof):
 
 
 def _read_fri_proof(buf: Buffer) -> FriProof:
-    caps = [buf.read_cap() for _ in range(buf.read_u8())]
+    caps = [buf.read_cap() for _ in range(buf.read_u32())]
     rounds = []
     for _ in range(buf.read_u32()):
         evals_proofs = []
-        for _ in range(buf.read_u8()):
+        for _ in range(buf.read_u32()):
             leaf = [int(x) for x in buf.read_field_vec()]
             path = buf.read_merkle_proof()
             evals_proofs.append((leaf, path))
         steps = []
-        for _ in range(buf.read_u8()):
+        for _ in range(buf.read_u32()):
             evals = buf.read_ext_vec()
             path = buf.read_merkle_proof()
             steps.append(FriQueryStep(evals, path))
@@ -184,30 +199,23 @@ def _read_stark_proof(buf: Buffer) -> StarkProof:
 
 
 def serialize_all_proof(proof: AllProof) -> bytes:
+    """write_all_proof (serialization.rs:377-392): u32 proof count, proofs,
+    compress challenges as a field vec. PublicValues are NOT serialized
+    (the reference's writer omits them and its reader defaults them)."""
     buf = Buffer()
-    buf.write_u8(len(proof.stark_proofs))
+    buf.write_u32(len(proof.stark_proofs))
     for p in proof.stark_proofs:
         _write_stark_proof(buf, p)
-    buf.write_u8(len(proof.compress_challenges))
-    for c in proof.compress_challenges:
-        buf.write_u64(c)
-    pv = proof.public_values
-    for v in pv.pre_state_root:
-        buf.write_u64(v)
-    for v in pv.post_state_root:
-        buf.write_u64(v)
-    buf.write_u64(pv.block_number)
+    buf.write_field_vec(
+        np.asarray(list(proof.compress_challenges), dtype=np.uint64)
+    )
     return bytes(buf.data)
 
 
 def deserialize_all_proof(data: bytes) -> AllProof:
     buf = Buffer(data)
-    n = buf.read_u8()
+    n = buf.read_u32()
     proofs = [_read_stark_proof(buf) for _ in range(n)]
-    nch = buf.read_u8()
-    challenges = [buf.read_u64() for _ in range(nch)]
-    pre = tuple(buf.read_u64() for _ in range(4))
-    post = tuple(buf.read_u64() for _ in range(4))
-    block = buf.read_u64()
+    challenges = [int(c) for c in buf.read_field_vec()]
     assert buf.pos == len(buf.data), "trailing bytes in proof"
-    return AllProof(proofs, challenges, PublicValues(pre, post, block))
+    return AllProof(proofs, challenges, PublicValues())

@@ -275,15 +275,7 @@ class MemoryStark(Stark):
         )
         # data-dependent heap-ptr selector (memory_stark.rs:290-307): equals 1
         # exactly where nv_addr == ADDR_HEAP_PTR in the evaluation domain
-        if not F.is_ext:
-            is_next_hp = (np.asarray(nv_addr) == np.uint64(ADDR_HEAP_PTR)).astype(
-                np.uint64
-            )
-        else:
-            arr = np.asarray(nv_addr)
-            is_next_hp = F.constant(
-                1 if (int(arr[0]) == ADDR_HEAP_PTR and int(arr[1]) == 0) else 0
-            )
+        is_next_hp = F.indicator_eq_const(nv_addr, ADDR_HEAP_PTR)
         c.constraint(m(is_next_hp, F.sub(nv_addr, heap_ptr)))
         c.constraint(
             m(F.sub(addr, heap_ptr), is_next_hp, F.sub(one, nv_is_write),

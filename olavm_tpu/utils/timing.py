@@ -24,10 +24,10 @@ class TimingTree:
             self.records.append((self._depth, name, elapsed))
             self._depth -= 1
 
-    def print(self, min_secs: float = 0.0):
+    def print(self, min_secs: float = 0.0, file=None):
         for depth, name, secs in self.records:
             if secs >= min_secs:
-                print(f"{'  ' * depth}{secs:8.3f}s  {name}")
+                print(f"{'  ' * depth}{secs:8.3f}s  {name}", file=file)
 
     def total(self, name: str) -> float:
         return sum(s for _, n, s in self.records if n == name)

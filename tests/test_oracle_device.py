@@ -31,11 +31,19 @@ def test_device_commit_matches_host_blake3(C, logn):
                                  hasher=by_name("blake3"))
 
 
-def test_device_lde_recompute_after_drop():
-    rng = np.random.RandomState(7)
-    vals = rng.randint(0, 1 << 63, size=(5, 32)).astype(np.uint64)
-    dev = DevicePolynomialBatch.from_values(gf.from_u64(vals), 3, 2, "blake3")
-    before = gf.to_u64(dev.ensure_lde())
-    dev.drop_lde()
-    after = gf.to_u64(dev.ensure_lde())
-    assert np.array_equal(before, after)
+def test_device_commit_matches_host_poseidon():
+    # poseidon leaf sponge path of the streaming absorber (blake3 is covered
+    # above); C=17 exercises a partial final rate chunk
+    rng = np.random.RandomState(3)
+    vals = rng.randint(0, 1 << 63, size=(17, 32)).astype(np.uint64)
+    host = PolynomialBatch.from_values(vals, 3, 2, by_name("poseidon"))
+    dev = DevicePolynomialBatch.from_values(gf.from_u64(vals), 3, 2,
+                                            "poseidon")
+    assert np.array_equal(host.cap, dev.cap)
+    idxs = [0, 17, 255]
+    leaves = dev.query_leaves(idxs)
+    proofs = dev.prove_batch(idxs)
+    for i, x in enumerate(idxs):
+        hleaf, hproof = host.leaf_and_proof(x)
+        assert [int(v) for v in leaves[i]] == hleaf
+        assert proofs[i] == hproof
