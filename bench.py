@@ -35,6 +35,14 @@ REF_REPS = {"fib": 1000, "sqrt": 16000}
 
 
 def main():
+    import logging
+
+    logging.basicConfig(
+        level=os.environ.get("OLAVM_BENCH_LOGLEVEL", "INFO"),
+        stream=sys.stderr,
+        format="%(asctime)s %(name)s %(message)s",
+    )
+
     import jax
 
     from olavm_tpu.utils.platform import enable_compile_cache

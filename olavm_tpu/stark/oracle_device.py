@@ -173,6 +173,42 @@ def build_tree_device(leaf_digs: list, size: int, cap_height: int,
     return levels_dev, levels_host, host_top
 
 
+def gather_paths_device(levels_dev, levels_host, x_indices,
+                        num_path_levels: int) -> list[list[list[int]]]:
+    """Merkle authentication paths for a batch of leaf indices, with ONE
+    fused device gather + ONE D2H transfer for all device levels (the
+    per-level round-trips would pay the slow-tunnel D2H latency dozens of
+    times per tree). Returns [k][level][4 u64]."""
+    import jax.numpy as jnp
+
+    k = len(x_indices)
+    idx = np.asarray(x_indices, dtype=np.int64)
+    n_dev = min(len(levels_dev), num_path_levels)
+    sibs = [jnp.asarray((idx >> lvl) ^ 1) for lvl in range(n_dev)]
+
+    def gather(levels, sib_list):
+        outs = []
+        for digs, s in zip(levels, sib_list):
+            outs.append(jnp.stack([lane[s] for lane in digs], axis=-1))
+        return jnp.stack(outs, axis=1)  # (k, n_dev, 8) u32
+
+    key = ("qpaths", tuple(d[0].shape for d in levels_dev[:n_dev]), k)
+    fn = _jit(key, gather)
+    out = np.asarray(fn(tuple(tuple(d) for d in levels_dev[:n_dev]), sibs),
+                     dtype=np.uint32)
+    dev_part = np.ascontiguousarray(out).view(np.uint64).reshape(k, n_dev, 4)
+    sib_per_level = [dev_part[:, lvl] for lvl in range(n_dev)]
+    for h, level in enumerate(levels_host):
+        lvl = len(levels_dev) + h
+        if lvl >= num_path_levels:
+            break
+        sib_per_level.append(level[(idx >> lvl) ^ 1])
+    return [
+        [[int(v) for v in level[i]] for level in sib_per_level]
+        for i in range(k)
+    ]
+
+
 def eval_at_points(coeffs: gf.GF, points: list[int]) -> np.ndarray:
     """Direct evaluation p_c(x_k) for host-known points: (k, C) host u64.
 
@@ -339,35 +375,7 @@ class DevicePolynomialBatch:
 
     def prove_batch(self, x_indices: list[int]) -> list[list[list[int]]]:
         """Merkle paths for a batch of leaf indices: [k][level][4]."""
-        import jax.numpy as jnp
-
-        k = len(x_indices)
-        idx = np.asarray(x_indices, dtype=np.int64)
         num_path_levels = self.lde_bits - log2_strict(len(self._cap))
-        sib_per_level = []
-        for lvl, digs in enumerate(self.levels_dev):
-            if lvl >= num_path_levels:
-                break
-            sib = (idx >> lvl) ^ 1
-
-            def gather(lanes, s):
-                return jnp.stack([lane[s] for lane in lanes], axis=-1)
-
-            fn = _jit(("qpath", self.levels_dev[lvl][0].shape, lvl, k),
-                      gather)
-            out = np.asarray(fn(tuple(digs), jnp.asarray(sib)),
-                             dtype=np.uint32)
-            sib_per_level.append(
-                np.ascontiguousarray(out).view(np.uint64).reshape(k, 4)
-            )
-        n_dev = len(self.levels_dev)
-        for h, level in enumerate(self.levels_host):
-            lvl = n_dev + h
-            if lvl >= num_path_levels:
-                break
-            sib = (idx >> lvl) ^ 1
-            sib_per_level.append(level[sib])
-        out = []
-        for i in range(k):
-            out.append([[int(v) for v in level[i]] for level in sib_per_level])
-        return out
+        return gather_paths_device(
+            self.levels_dev, self.levels_host, x_indices, num_path_levels
+        )
