@@ -183,7 +183,22 @@ def build_levels(leaf_digs: list, num_compress: int, hasher_kind: str) -> list:
     return levels
 
 
+_stack_jit_cache: dict = {}
+
+
+def stack_lanes_device(digs: list):
+    """Stack 8 u32 lanes -> one (n, 8) device array (so a host pull is ONE
+    D2H transfer instead of eight latency-bound lane pulls)."""
+    import jax
+
+    key = ("stacklanes", digs[0].shape, len(digs))
+    if key not in _stack_jit_cache:
+        _stack_jit_cache[key] = jax.jit(
+            lambda *lanes: jnp.stack(lanes, axis=1))
+    return _stack_jit_cache[key](*digs)
+
+
 def digests_to_u64_np(digs: list) -> np.ndarray:
-    """8 u32 lanes (n,) -> host (n, 4) u64 digest rows."""
-    arr = np.stack([np.asarray(d, dtype=np.uint32) for d in digs], axis=1)
+    """8 u32 lanes (n,) -> host (n, 4) u64 digest rows (one D2H pull)."""
+    arr = np.asarray(stack_lanes_device(digs), dtype=np.uint32)
     return np.ascontiguousarray(arr).view(np.uint64).reshape(arr.shape[0], 4)

@@ -83,6 +83,10 @@ def ntt(x: gf.GF) -> gf.GF:
     log_n = log2_strict(n)
     if n == 1:
         return x
+    from . import pallas_ntt
+
+    if pallas_ntt.use_pallas(n):
+        return pallas_ntt.ntt_pallas(x)
     perm = _bitrev_perm_dev(log_n)
     x = gf.GF(jnp.take(x.lo, perm, axis=-1), jnp.take(x.hi, perm, axis=-1))
     return _butterfly_stages(x, _stage_twiddles(log_n, inverse=False))
@@ -94,10 +98,15 @@ def intt(x: gf.GF) -> gf.GF:
     log_n = log2_strict(n)
     if n == 1:
         return x
+    from . import pallas_ntt
+
+    n_inv = gf.from_u64(np.array(g.inv(n), dtype=np.uint64))
+    if pallas_ntt.use_pallas(n):
+        x = pallas_ntt.ntt_pallas(x, inverse=True)
+        return gf.mul(x, gf.GF(n_inv.lo, n_inv.hi))
     perm = _bitrev_perm_dev(log_n)
     x = gf.GF(jnp.take(x.lo, perm, axis=-1), jnp.take(x.hi, perm, axis=-1))
     x = _butterfly_stages(x, _stage_twiddles(log_n, inverse=True))
-    n_inv = gf.from_u64(np.array(g.inv(n), dtype=np.uint64))
     return gf.mul(x, gf.GF(n_inv.lo, n_inv.hi))
 
 

@@ -138,24 +138,57 @@ def poseidon_with_row(state12: list[int], **filters) -> tuple[list[int], Poseido
     native = _native()
     if native is not None:
         outs, traces = native.permute_batch_trace(inp.reshape(1, 12))
-        out = outs[0]
-        t = traces[0]
-        row = PoseidonRow(
-            input=tuple(int(x) for x in inp),
-            full_0_1=tuple(int(x) for x in t[0:12]),
-            full_0_2=tuple(int(x) for x in t[12:24]),
-            full_0_3=tuple(int(x) for x in t[24:36]),
-            partial=tuple(int(x) for x in t[36:58]),
-            full_1_0=tuple(int(x) for x in t[58:70]),
-            full_1_1=tuple(int(x) for x in t[70:82]),
-            full_1_2=tuple(int(x) for x in t[82:94]),
-            full_1_3=tuple(int(x) for x in t[94:106]),
-            output=tuple(int(x) for x in out),
-            **filters,
+        return (
+            outs[0].tolist(),
+            _row_from_native(inp, outs[0], traces[0], **filters),
         )
-        return [int(x) for x in out], row
     out, tr = pos.permute_np(inp, with_trace=True)
     return [int(x) for x in out], _poseidon_row_from_trace(inp, out, tr, **filters)
+
+
+def _row_from_native(inp, out, t, **filters) -> PoseidonRow:
+    """PoseidonRow from a native trace lane ((12,), (12,), (106,)).
+    .tolist() (C loop -> Python ints) instead of per-element int() genexprs:
+    the SMT hashes tens of thousands of these per block."""
+    tl = t.tolist()
+    return PoseidonRow(
+        input=tuple(inp.tolist()),
+        full_0_1=tuple(tl[0:12]),
+        full_0_2=tuple(tl[12:24]),
+        full_0_3=tuple(tl[24:36]),
+        partial=tuple(tl[36:58]),
+        full_1_0=tuple(tl[58:70]),
+        full_1_1=tuple(tl[70:82]),
+        full_1_2=tuple(tl[82:94]),
+        full_1_3=tuple(tl[94:106]),
+        output=tuple(out.tolist()),
+        **filters,
+    )
+
+
+def poseidon_rows_batch(states, **filters) -> tuple:
+    """Batched poseidon_with_row: (n, 12) states -> (outs (n,12) u64,
+    [PoseidonRow]*n). One native call for the whole batch."""
+    import numpy as np
+
+    from ..hash.poseidon import _native
+
+    states = np.ascontiguousarray(states, dtype=np.uint64)
+    native = _native()
+    if native is not None:
+        outs, traces = native.permute_batch_trace(states)
+        rows = [
+            _row_from_native(states[i], outs[i], traces[i], **filters)
+            for i in range(states.shape[0])
+        ]
+        return outs, rows
+    outs = []
+    rows = []
+    for i in range(states.shape[0]):
+        o, r = poseidon_with_row(states[i].tolist(), **filters)
+        outs.append(o)
+        rows.append(r)
+    return np.asarray(outs, dtype=np.uint64), rows
 
 
 def hashed_storage_key(address: tuple, slot_key: tuple) -> tuple[tuple, PoseidonRow]:

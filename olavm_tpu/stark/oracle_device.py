@@ -142,48 +142,38 @@ def _streamed_leaf_digests(coeffs: gf.GF, rate_bits: int,
 
 
 def build_tree_device(leaf_digs: list, size: int, cap_height: int,
-                      hasher_kind: str):
-    """Per-level reduction: device lanes while big, host tail. Returns
-    (levels_dev: list of 8-lane tuples, levels_host: list of (m,4) u64,
-    cap: (2^cap_height, 4) u64 host)."""
-    import jax
-
-    from ..hash.hashers import by_name
-
+                      hasher_kind: str, defer_cap_pull: bool = False):
+    """Per-level reduction entirely on device (the host tail of round 2 paid
+    a ~130 KB D2H pull per tree; the tunnel's D2H latency makes every pull
+    ~30-50 ms, so only the 2^cap_height * 32 B cap ever crosses). Returns
+    (levels_dev: list of 8-lane tuples, levels_host: [] (kept for API
+    compat), cap: (2^cap_height, 4) u64 host — or the device lane list if
+    defer_cap_pull)."""
     levels_dev = [list(leaf_digs)]
     m = size
-    while m > max(_HOST_TAIL, 1 << cap_height):
+    while m > (1 << cap_height):
         fn = _jit(("compress", m, hasher_kind),
                   lambda *digs: tuple(dmerkle.compress_level(list(digs),
                                                              hasher_kind)))
         levels_dev.append(list(fn(*levels_dev[-1])))
         m >>= 1
-    # pull the smallest device level, finish on host (levels_host INCLUDES
-    # the cap level as its last entry when non-empty)
-    host_top = dmerkle.digests_to_u64_np(levels_dev[-1])
-    hasher = by_name(hasher_kind)
-    levels_host = []
-    while m > (1 << cap_height):
-        host_top = hasher.compress(
-            np.ascontiguousarray(host_top[0::2]),
-            np.ascontiguousarray(host_top[1::2]),
-        )
-        levels_host.append(host_top)
-        m >>= 1
-    return levels_dev, levels_host, host_top
+    cap_lanes = levels_dev.pop()  # cap level is not part of query paths
+    if defer_cap_pull:
+        return levels_dev, [], cap_lanes
+    return levels_dev, [], dmerkle.digests_to_u64_np(cap_lanes)
 
 
-def gather_paths_device(levels_dev, levels_host, x_indices,
-                        num_path_levels: int) -> list[list[list[int]]]:
-    """Merkle authentication paths for a batch of leaf indices, with ONE
-    fused device gather + ONE D2H transfer for all device levels (the
-    per-level round-trips would pay the slow-tunnel D2H latency dozens of
-    times per tree). Returns [k][level][4 u64]."""
+def gather_paths_dev(levels_dev, x_indices, num_path_levels: int):
+    """Device Merkle authentication-path gather for a batch of leaf indices:
+    ONE fused gather -> (k, num_path_levels, 8) u32 device array (stays on
+    device so the caller can batch its D2H pull with everything else the
+    proof needs — the tunnel's D2H latency is ~30-50 ms per pull)."""
     import jax.numpy as jnp
 
     k = len(x_indices)
     idx = np.asarray(x_indices, dtype=np.int64)
     n_dev = min(len(levels_dev), num_path_levels)
+    assert n_dev == num_path_levels, "tree must be device-built to the cap"
     sibs = [jnp.asarray((idx >> lvl) ^ 1) for lvl in range(n_dev)]
 
     def gather(levels, sib_list):
@@ -194,23 +184,31 @@ def gather_paths_device(levels_dev, levels_host, x_indices,
 
     key = ("qpaths", tuple(d[0].shape for d in levels_dev[:n_dev]), k)
     fn = _jit(key, gather)
-    out = np.asarray(fn(tuple(tuple(d) for d in levels_dev[:n_dev]), sibs),
-                     dtype=np.uint32)
-    dev_part = np.ascontiguousarray(out).view(np.uint64).reshape(k, n_dev, 4)
-    sib_per_level = [dev_part[:, lvl] for lvl in range(n_dev)]
-    for h, level in enumerate(levels_host):
-        lvl = len(levels_dev) + h
-        if lvl >= num_path_levels:
-            break
-        sib_per_level.append(level[(idx >> lvl) ^ 1])
+    return fn(tuple(tuple(d) for d in levels_dev[:n_dev]), sibs)
+
+
+def paths_to_host(dev_paths: np.ndarray) -> list[list[list[int]]]:
+    """(k, L, 8) u32 host array -> [k][level][4 u64] path lists."""
+    arr = np.ascontiguousarray(np.asarray(dev_paths, dtype=np.uint32))
+    k, L = arr.shape[0], arr.shape[1]
+    u64 = arr.view(np.uint64).reshape(k, L, 4)
     return [
-        [[int(v) for v in level[i]] for level in sib_per_level]
+        [[int(v) for v in u64[i, lvl]] for lvl in range(L)]
         for i in range(k)
     ]
 
 
-def eval_at_points(coeffs: gf.GF, points: list[int]) -> np.ndarray:
-    """Direct evaluation p_c(x_k) for host-known points: (k, C) host u64.
+def gather_paths_device(levels_dev, levels_host, x_indices,
+                        num_path_levels: int) -> list[list[list[int]]]:
+    """Host-convenience wrapper: device gather + immediate pull."""
+    return paths_to_host(
+        gather_paths_dev(levels_dev, x_indices, num_path_levels)
+    )
+
+
+def eval_at_points_dev(coeffs: gf.GF, points: list[int]):
+    """Direct evaluation p_c(x_k) for host-known points -> device (k, C, 2)
+    u32 array (lo, hi lanes).
 
     Exact modular arithmetic — identical field elements to what the coset-LDE
     would hold at those positions (used for FRI query leaves so the LDE need
@@ -248,15 +246,25 @@ def eval_at_points(coeffs: gf.GF, points: list[int]) -> np.ndarray:
             outs_hi.append(r.hi)
         return jnp.stack(outs_lo), jnp.stack(outs_hi)
 
-    los, his = [], []
+    chunks = []
     for s, e in _col_chunks(C, n):
         fn = _jit(("qeval", k, e - s, n), ev)
-        lo, hi = fn(coeffs.lo[s:e], coeffs.hi[s:e], pw_lo, pw_hi)
-        los.append(np.asarray(lo, dtype=np.uint64))
-        his.append(np.asarray(hi, dtype=np.uint64))
-    lo = np.concatenate(los, axis=1)
-    hi = np.concatenate(his, axis=1)
-    return lo | (hi << np.uint64(32))
+        chunks.append(fn(coeffs.lo[s:e], coeffs.hi[s:e], pw_lo, pw_hi))
+    if len(chunks) == 1:
+        lo, hi = chunks[0]
+    else:
+        cat = _jit(("qevalcat", tuple(c[0].shape for c in chunks)),
+                   lambda ls, hs: (jnp.concatenate(ls, axis=1),
+                                   jnp.concatenate(hs, axis=1)))
+        lo, hi = cat([c[0] for c in chunks], [c[1] for c in chunks])
+    return _jit(("qevalstack", lo.shape),
+                lambda a, b: jnp.stack([a, b], axis=-1))(lo, hi)
+
+
+def eval_at_points(coeffs: gf.GF, points: list[int]) -> np.ndarray:
+    """Host wrapper: (k, C) u64 values (one D2H pull)."""
+    out = np.asarray(eval_at_points_dev(coeffs, points), dtype=np.uint64)
+    return out[..., 0] | (out[..., 1] << np.uint64(32))
 
 
 class DevicePolynomialBatch:
@@ -282,15 +290,18 @@ class DevicePolynomialBatch:
 
     @staticmethod
     def from_values(values: gf.GF, rate_bits: int, cap_height: int,
-                    hasher_kind: str) -> "DevicePolynomialBatch":
+                    hasher_kind: str,
+                    defer_cap_pull: bool = False) -> "DevicePolynomialBatch":
         coeffs = intt_chunked(values)
         return DevicePolynomialBatch.from_coeffs(
-            coeffs, rate_bits, cap_height, hasher_kind
+            coeffs, rate_bits, cap_height, hasher_kind,
+            defer_cap_pull=defer_cap_pull,
         )
 
     @staticmethod
     def from_coeffs(coeffs: gf.GF, rate_bits: int, cap_height: int,
-                    hasher_kind: str) -> "DevicePolynomialBatch":
+                    hasher_kind: str,
+                    defer_cap_pull: bool = False) -> "DevicePolynomialBatch":
         import jax.numpy as jnp
 
         C, n = coeffs.shape
@@ -303,7 +314,8 @@ class DevicePolynomialBatch:
                     lambda p, *ds: tuple(d[p] for d in ds))
         digs = list(brev(perm, *digs))
         levels_dev, levels_host, cap = build_tree_device(
-            digs, size, cap_height, hasher_kind
+            digs, size, cap_height, hasher_kind,
+            defer_cap_pull=defer_cap_pull,
         )
         return DevicePolynomialBatch(
             coeffs, levels_dev, levels_host, cap, degree_log, rate_bits,
@@ -314,6 +326,13 @@ class DevicePolynomialBatch:
 
     @property
     def cap(self) -> np.ndarray:
+        if isinstance(self._cap, list):  # deferred device lanes
+            self._cap = dmerkle.digests_to_u64_np(self._cap)
+        return self._cap
+
+    @property
+    def cap_lanes_device(self):
+        assert isinstance(self._cap, list)
         return self._cap
 
     @property
@@ -362,16 +381,24 @@ class DevicePolynomialBatch:
 
     # --- FRI queries ----------------------------------------------------
 
-    def query_leaves(self, x_indices: list[int]) -> np.ndarray:
-        """Leaf values for bit-reversed leaf indices: (k, C) host u64,
-        recomputed by direct evaluation (no resident LDE)."""
+    def query_points(self, x_indices: list[int]) -> list[int]:
+        """Coset points behind bit-reversed leaf indices."""
         bits = self.lde_bits
         perm = bit_reversal_perm(1 << bits)
         nat = perm[np.asarray(x_indices)]
         w = g.primitive_root_of_unity(bits)
         shift = g.MULTIPLICATIVE_GROUP_GENERATOR
-        points = [g.mul(shift, pow(w, int(j), g.P)) for j in nat]
-        return eval_at_points(self.coeffs, points)
+        return [g.mul(shift, pow(w, int(j), g.P)) for j in nat]
+
+    def query_leaves_dev(self, x_indices: list[int]):
+        """Leaf values for bit-reversed leaf indices: device (k, C, 2) u32,
+        recomputed by direct evaluation (no resident LDE)."""
+        return eval_at_points_dev(self.coeffs, self.query_points(x_indices))
+
+    def query_leaves(self, x_indices: list[int]) -> np.ndarray:
+        """(k, C) host u64 leaf values (one D2H pull)."""
+        out = np.asarray(self.query_leaves_dev(x_indices), dtype=np.uint64)
+        return out[..., 0] | (out[..., 1] << np.uint64(32))
 
     def prove_batch(self, x_indices: list[int]) -> list[list[list[int]]]:
         """Merkle paths for a batch of leaf indices: [k][level][4]."""

@@ -48,7 +48,8 @@ from .oracle_device import (
     DevicePolynomialBatch,
     _jit,
     build_tree_device,
-    gather_paths_device,
+    gather_paths_dev,
+    paths_to_host,
 )
 from .ops import GfOps
 from .proof import AllProof, PublicValues, StarkOpeningSet, StarkProof
@@ -314,6 +315,46 @@ def _ext_power_table(z, n: int) -> gfe.GFE:
 # ---------------------------------------------------------------------------
 
 
+def fri_pow_device(current_hash: list[int], fri_config) -> int:
+    """Device PoW grind (fri/prover.rs:126-148): one batched Poseidon
+    dispatch over 2^18 nonces, argmin of the valid set -> lowest witness
+    (deterministic, same as the host grinder). The host numpy grind costs
+    ~0.8 s/table; on device it is one dispatch + an 8-byte pull."""
+    import jax.numpy as jnp
+
+    from ..hash import poseidon as pos
+
+    pow_bits = fri_config.proof_of_work_bits
+    assert pow_bits <= 32
+    B = 1 << 18
+    hi_bound = np.uint32(1 << (32 - pow_bits)) if pow_bits else None
+
+    def grind(h_lo, h_hi, start_lo):
+        nonces = start_lo + jax.lax.broadcasted_iota(
+            jnp.uint32, (B, 1), 0).reshape(B)
+        state = [gf.zeros((B,)) for _ in range(12)]
+        for i in range(4):
+            state[i] = gf.GF(jnp.broadcast_to(h_lo[i], (B,)),
+                             jnp.broadcast_to(h_hi[i], (B,)))
+        state[4] = gf.GF(nonces, jnp.zeros((B,), jnp.uint32))
+        out0 = pos.permute_gf(state)[0]
+        valid = out0.hi < hi_bound
+        idx = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0).reshape(B)
+        return jnp.min(jnp.where(valid, idx, B))
+
+    import jax
+
+    fn = _jit(("fripow", B, pow_bits), grind)
+    h = gf.from_u64(np.asarray(current_hash, dtype=np.uint64))
+    w = 0
+    while True:
+        idx = int(np.asarray(fn(h.lo, h.hi, np.uint32(w * B))))
+        if idx < B:
+            return w * B + idx
+        w += 1
+        assert (w + 1) * B < (1 << 32), "PoW grind exhausted u32 nonces"
+
+
 class _DeviceExtTree:
     """Commit-phase FRI tree over flattened extension leaves (device)."""
 
@@ -349,8 +390,9 @@ class _DeviceExtTree:
         self.n_leaves = n_leaves
         self.cap_height = cap_height
 
-    def leaf_values(self, coset_indices: np.ndarray) -> np.ndarray:
-        """(k,) coset indices -> (k, arity, 2) host u64 ext values."""
+    def leaf_values_dev(self, coset_indices: np.ndarray):
+        """(k,) coset indices -> device (k*arity, 4) u32 ext values
+        (re_lo, re_hi, im_lo, im_hi lanes)."""
         import jax.numpy as jnp
 
         idx = np.asarray(coset_indices, dtype=np.int64)
@@ -358,21 +400,17 @@ class _DeviceExtTree:
                 + np.arange(self.arity)[None, :]).reshape(-1)
 
         def gather(r_lo, r_hi, i_lo, i_hi, ix):
-            return r_lo[ix], r_hi[ix], i_lo[ix], i_hi[ix]
+            return jnp.stack(
+                [r_lo[ix], r_hi[ix], i_lo[ix], i_hi[ix]], axis=-1)
 
         fn = _jit(("frileaves", self.values.shape, len(flat)), gather)
-        out = fn(self.values.re.lo, self.values.re.hi,
-                 self.values.im.lo, self.values.im.hi, jnp.asarray(flat))
-        rl, rh, il, ih = [np.asarray(o, dtype=np.uint64) for o in out]
-        re = rl | (rh << np.uint64(32))
-        im = il | (ih << np.uint64(32))
-        k = len(idx)
-        return np.stack([re, im], axis=-1).reshape(k, self.arity, 2)
+        return fn(self.values.re.lo, self.values.re.hi,
+                  self.values.im.lo, self.values.im.hi, jnp.asarray(flat))
 
-    def prove_batch(self, coset_indices: np.ndarray) -> list:
+    def paths_dev(self, coset_indices: np.ndarray):
         num_path_levels = log2_strict(self.n_leaves) - self.cap_height
-        return gather_paths_device(
-            self.levels_dev, self.levels_host, coset_indices, num_path_levels
+        return gather_paths_dev(
+            self.levels_dev, coset_indices, num_path_levels
         )
 
 
@@ -596,47 +634,86 @@ def fri_proof_device(initial_oracles, coeffs: gfe.GFE, values: gfe.GFE,
         vlo, vhi = fn2(coeffs.re.lo, coeffs.re.hi, coeffs.im.lo, coeffs.im.hi)
         values = gfe.GFE(gf.GF(vlo[0], vhi[0]), gf.GF(vlo[1], vhi[1]))
 
-    # final polynomial coefficients to host
+    # final polynomial coefficients to host (one fused pull)
     final_len = coeffs.shape[0] >> config.rate_bits
-    final_coeffs = gfe.to_u64_pair(
-        gfe.GFE(
-            gf.GF(np.asarray(coeffs.re.lo[:final_len]),
-                  np.asarray(coeffs.re.hi[:final_len])),
-            gf.GF(np.asarray(coeffs.im.lo[:final_len]),
-                  np.asarray(coeffs.im.hi[:final_len])),
-        )
-    )
+    fin = np.asarray(_jit(("finpoly", coeffs.shape[0], final_len),
+                          lambda rl, rh, il, ih: jnp.stack(
+                              [rl[:final_len], rh[:final_len],
+                               il[:final_len], ih[:final_len]], axis=-1))(
+        coeffs.re.lo, coeffs.re.hi, coeffs.im.lo, coeffs.im.hi),
+        dtype=np.uint64)
+    final_coeffs = np.stack(
+        [fin[:, 0] | (fin[:, 1] << np.uint64(32)),
+         fin[:, 2] | (fin[:, 3] << np.uint64(32))], axis=-1)
     for c in final_coeffs:
         challenger.observe_extension_element(c)
 
-    # PoW on host (expected 2^pow_bits tiny Poseidon permutations)
+    # PoW grind on device (expected 2^pow_bits Poseidon permutations)
     current_hash = challenger.get_hash()
-    pow_witness = fri_proof_of_work(current_hash, config)
+    pow_witness = fri_pow_device(current_hash, config)
 
     lde_n = 1 << (degree_bits + config.rate_bits)
     query_indices = [
         c % lde_n for c in challenger.get_n_challenges(config.num_query_rounds)
     ]
 
-    # batched query extraction: initial oracles
-    leaves_per_oracle = [o.query_leaves(query_indices) for o in initial_oracles]
-    paths_per_oracle = [o.prove_batch(query_indices) for o in initial_oracles]
-
-    # fold trees
-    steps_per_round: list[list[FriQueryStep]] = [[] for _ in query_indices]
+    # query extraction: every leaf/path gather stays on device and ONE
+    # flattened u32 pull carries all of it to the host (the tunnel's D2H
+    # latency made the round-2 ~20 pulls per table cost seconds each table)
+    k = len(query_indices)
+    dev_pieces = []  # (tag, meta, device u32 array)
+    for o in initial_oracles:
+        num_path_levels = o.lde_bits - config.cap_height
+        dev_pieces.append(("leaves", o.num_polys,
+                           o.query_leaves_dev(query_indices)))
+        dev_pieces.append(("paths", num_path_levels,
+                           gather_paths_dev(o.levels_dev, query_indices,
+                                            num_path_levels)))
     xi = np.asarray(query_indices, dtype=np.int64)
     for i, arity_bits in enumerate(arity_schedule):
         coset = xi >> arity_bits
-        evals = trees[i].leaf_values(coset)
-        proofs = trees[i].prove_batch(coset)
-        for qi in range(len(query_indices)):
-            steps_per_round[qi].append(
-                FriQueryStep(evals[qi], proofs[qi])
-            )
+        tree = trees[i]
+        dev_pieces.append(("frileaves", tree.arity,
+                           tree.leaf_values_dev(coset)))
+        dev_pieces.append(
+            ("fripaths",
+             log2_strict(tree.n_leaves) - tree.cap_height,
+             tree.paths_dev(coset)))
         xi = coset
 
+    arrs = [p[2] for p in dev_pieces]
+    cat = _jit(("qpull", tuple(a.shape for a in arrs)),
+               lambda xs: jnp.concatenate([x.reshape(-1) for x in xs]))
+    flat = np.asarray(cat(tuple(arrs)), dtype=np.uint32)
+
+    # host-side unpack
+    off = 0
+    leaves_per_oracle, paths_per_oracle = [], []
+    steps_eval, steps_path = [], []
+    for tag, meta, a in dev_pieces:
+        size = int(np.prod(a.shape))
+        buf = flat[off:off + size].reshape(a.shape)
+        off += size
+        if tag == "leaves":  # (k, C, 2) u32 -> (k, C) u64
+            u = buf.astype(np.uint64)
+            leaves_per_oracle.append(u[..., 0] | (u[..., 1] << np.uint64(32)))
+        elif tag == "paths":  # (k, L, 8) u32 -> [k][L][4 u64]
+            from .oracle_device import paths_to_host
+
+            paths_per_oracle.append(paths_to_host(buf))
+        elif tag == "frileaves":  # (k*arity, 4) u32 -> (k, arity, 2) u64
+            u = buf.astype(np.uint64)
+            re = u[:, 0] | (u[:, 1] << np.uint64(32))
+            im = u[:, 2] | (u[:, 3] << np.uint64(32))
+            steps_eval.append(
+                np.stack([re, im], axis=-1).reshape(k, meta, 2))
+        else:  # fripaths
+            from .oracle_device import paths_to_host
+
+            steps_path.append(paths_to_host(buf))
+
     query_rounds = []
-    for qi in range(len(query_indices)):
+    for qi in range(k):
         initial = FriInitialTreeProof(
             [
                 ([int(v) for v in leaves_per_oracle[o][qi]],
@@ -644,7 +721,11 @@ def fri_proof_device(initial_oracles, coeffs: gfe.GFE, values: gfe.GFE,
                 for o in range(len(initial_oracles))
             ]
         )
-        query_rounds.append(FriQueryRound(initial, steps_per_round[qi]))
+        steps = [
+            FriQueryStep(steps_eval[i][qi], steps_path[i][qi])
+            for i in range(len(arity_schedule))
+        ]
+        query_rounds.append(FriQueryRound(initial, steps))
 
     return FriProof(
         commit_phase_merkle_caps=[t.cap for t in trees],
@@ -662,20 +743,67 @@ def fri_proof_device(initial_oracles, coeffs: gfe.GFE, values: gfe.GFE,
 def _openings_device(trace_batch, zs_batch, quotient_batch, z_values: gf.GF,
                      zeta, gen: int, degree: int,
                      num_permutation_zs: int) -> StarkOpeningSet:
-    """StarkOpeningSet::new (proof.rs:199-233) with device inner products."""
-    zeta_next = ge.scalar_mul(zeta, gen)
-    pows = _ext_power_table(zeta, degree)
-    pows_next = _ext_power_table(zeta_next, degree)
-    local_values = trace_batch.eval_at_ext(pows)
-    next_values = trace_batch.eval_at_ext(pows_next)
-    perm_ctl_zs = zs_batch.eval_at_ext(pows)
-    perm_ctl_zs_next = zs_batch.eval_at_ext(pows_next)
-    qpows = _ext_power_table(zeta, quotient_batch.coeffs.shape[1])
-    quotient_polys_open = quotient_batch.eval_at_ext(qpows)
-    # ctl_zs_last: CTL Z values at g^{n-1} = last row of the Z VALUES
-    lo = np.asarray(z_values.lo[num_permutation_zs:, -1], dtype=np.uint64)
-    hi = np.asarray(z_values.hi[num_permutation_zs:, -1], dtype=np.uint64)
-    ctl_zs_last = lo | (hi << np.uint64(32))
+    """StarkOpeningSet::new (proof.rs:199-233): ONE fused device program
+    evaluates every polynomial at zeta and g*zeta and slices the last CTL Z
+    values; ONE (K, 4) u32 pull carries the whole opening set to the host
+    (the per-column-chunk pulls of round 2 paid the tunnel's D2H latency
+    ~15x per table)."""
+    import jax.numpy as jnp
+
+    nq = quotient_batch.coeffs.shape[1]
+    Cq = quotient_batch.coeffs.shape[0]
+    Ct = trace_batch.coeffs.shape[0]
+    Cz = zs_batch.coeffs.shape[0]
+
+    def fn(t_lo, t_hi, zc_lo, zc_hi, q_lo, q_hi, zv_lo, zv_hi,
+           zr_lo, zr_hi, zi_lo, zi_hi):
+        zeta_e = gfe.GFE(gf.GF(zr_lo, zr_hi), gf.GF(zi_lo, zi_hi))
+        zeta_n = gfe.mul_base(zeta_e, gf.full((), gen))
+        pows = gfe.powers(zeta_e, degree)
+        pows_n = gfe.powers(zeta_n, degree)
+        qpows = gfe.powers(zeta_e, nq)
+
+        def ip(c: gf.GF, pw: gfe.GFE):
+            re = gf.sum_reduce(gf.mul(c, pw.re[None, :]), -1)
+            im = gf.sum_reduce(gf.mul(c, pw.im[None, :]), -1)
+            return re, im
+
+        outs = [
+            ip(gf.GF(t_lo, t_hi), pows),
+            ip(gf.GF(t_lo, t_hi), pows_n),
+            ip(gf.GF(zc_lo, zc_hi), pows),
+            ip(gf.GF(zc_lo, zc_hi), pows_n),
+            ip(gf.GF(q_lo, q_hi), qpows),
+            # ctl_zs_last: base values at g^{n-1} = last row of Z VALUES
+            (gf.GF(zv_lo[num_permutation_zs:, -1],
+                   zv_hi[num_permutation_zs:, -1]),
+             gf.zeros((zv_lo.shape[0] - num_permutation_zs,))),
+        ]
+        re = gf.concatenate([o[0] for o in outs])
+        im = gf.concatenate([o[1] for o in outs])
+        return jnp.stack([re.lo, re.hi, im.lo, im.hi], axis=1)  # (K, 4) u32
+
+    zeta_dev = gfe.from_u64_pair(np.asarray(zeta, dtype=np.uint64))
+    key = ("openings", trace_batch.coeffs.shape, zs_batch.coeffs.shape,
+           quotient_batch.coeffs.shape, num_permutation_zs, gen)
+    out = np.asarray(_jit(key, fn)(
+        trace_batch.coeffs.lo, trace_batch.coeffs.hi,
+        zs_batch.coeffs.lo, zs_batch.coeffs.hi,
+        quotient_batch.coeffs.lo, quotient_batch.coeffs.hi,
+        z_values.lo, z_values.hi,
+        zeta_dev.re.lo, zeta_dev.re.hi, zeta_dev.im.lo, zeta_dev.im.hi,
+    ), dtype=np.uint64)
+    re = out[:, 0] | (out[:, 1] << np.uint64(32))
+    im = out[:, 2] | (out[:, 3] << np.uint64(32))
+    ext = np.stack([re, im], axis=-1)  # (K, 2) u64
+
+    o = 0
+    local_values = ext[o:o + Ct]; o += Ct
+    next_values = ext[o:o + Ct]; o += Ct
+    perm_ctl_zs = ext[o:o + Cz]; o += Cz
+    perm_ctl_zs_next = ext[o:o + Cz]; o += Cz
+    quotient_polys_open = ext[o:o + Cq]; o += Cq
+    ctl_zs_last = re[o:]
     return StarkOpeningSet(
         local_values, next_values, perm_ctl_zs, perm_ctl_zs_next,
         ctl_zs_last, quotient_polys_open,
@@ -789,6 +917,8 @@ def prove_with_traces_device(ola_stark, config: StarkConfig,
     """Device analogue of prover.prove_with_traces: same challenger
     transcript, all heavy phases on the accelerator. trace_poly_values:
     per table (num_cols, degree) uint64 host arrays (uploaded once)."""
+    import jax.numpy as jnp
+
     timing = timing or TimingTree()
     rate_bits = config.fri_config.rate_bits
     cap_height = config.fri_config.cap_height
@@ -806,8 +936,20 @@ def prove_with_traces_device(ola_stark, config: StarkConfig,
                         len(values_dev), v.shape)
             trace_batches.append(
                 DevicePolynomialBatch.from_values(v, rate_bits, cap_height,
-                                                  hasher_kind)
+                                                  hasher_kind,
+                                                  defer_cap_pull=True)
             )
+        # one fused D2H pull for all 12 caps (vs 12 latency-bound pulls)
+        from ..merkle.device import stack_lanes_device
+
+        all_caps = _jit(("allcaps", len(trace_batches), cap_height),
+                        lambda *ls: jnp.concatenate(ls, axis=0))(
+            *[stack_lanes_device(b.cap_lanes_device) for b in trace_batches])
+        caps_np = np.ascontiguousarray(
+            np.asarray(all_caps, dtype=np.uint32)
+        ).view(np.uint64).reshape(len(trace_batches), -1, 4)
+        for b, c in zip(trace_batches, caps_np):
+            b._cap = c
     _log_hbm("trace commitments")
 
     challenger = Challenger()

@@ -57,6 +57,27 @@ def _compress(left, right, is_leaf: bool):
     return tuple(out[:4]), row
 
 
+def _compress_pair(left, right, pre_left, pre_right, is_leaf: bool):
+    """Batched (post, pre) compress: ONE native Poseidon-trace call for both
+    chains of a level (the TPU analogue of the reference's rayon-batched
+    node hashing, core/src/merkle_tree/patch.rs:159,187)."""
+    from ..runtime.process import poseidon_rows_batch
+
+    states = np.zeros((2, 12), dtype=np.uint64)
+    states[0, 0:4] = left
+    states[0, 4:8] = right
+    states[1, 0:4] = pre_left
+    states[1, 4:8] = pre_right
+    if is_leaf:
+        states[:, 8] = 1
+        outs, rows = poseidon_rows_batch(states, filter_looked_storage=True)
+    else:
+        outs, rows = poseidon_rows_batch(
+            states, filter_looked_storage_branch=True)
+    return (tuple(outs[0, :4].tolist()), rows[0],
+            tuple(outs[1, :4].tolist()), rows[1])
+
+
 _DEFAULT_HASHES = None
 
 
@@ -131,8 +152,16 @@ class AccountTree:
                 else:
                     left, right = cur, sib
                     pre_left, pre_right = pre, sib
-                parent, row = _compress(left, right, depth == 0)
-                pre_parent, pre_row = _compress(pre_left, pre_right, depth == 0)
+                if cur == pre:
+                    # read (or same-value write): pre and post chains are
+                    # identical — hash once, share the row
+                    parent, row = _compress(left, right, depth == 0)
+                    pre_parent, pre_row = parent, row
+                else:
+                    # one batched native call for the (post, pre) pair
+                    parent, row, pre_parent, pre_row = _compress_pair(
+                        left, right, pre_left, pre_right, depth == 0
+                    )
                 traces.append(
                     HashTrace(row, tuple(cur), tuple(sib), pre_parent,
                               tuple(pre), pre_row)
