@@ -1,28 +1,32 @@
-"""Pallas TPU NTT kernel: two VMEM-resident butterfly passes.
+"""Pallas TPU NTT kernel: multi-pass VMEM-resident butterflies.
 
 Replaces the whole-array jnp butterfly ladder (ntt/ntt.py) for large sizes.
 The jnp form costs ~2 HBM round-trips per stage (log2(n) stages); this
-kernel groups the radix-2 DIT network into TWO passes, each running all of
-its stages inside VMEM, so the HBM traffic is
+kernel partitions the radix-2 DIT network into ceil(ln/F) passes, each
+running F stages inside VMEM, so HBM traffic is
 
-    bit-reversal gather + transpose + pass A + transpose + pass B
+    bit-reversal gather + transpose + pass1 + transpose + pass2 + ... passM
 
-~5 round trips instead of ~2*log2(n).  This is the TPU analogue of the
+~(3 + M) round trips instead of ~2*log2(n).  This is the TPU analogue of the
 reference's CUDA NTT (/root/reference/plonky2/field/src/cfft/ntt/mod.rs) and
 SIMD fft (field/src/fft.rs:99-170).
 
-Structure (flat index i = q*n1 + r after the bit-reversal permutation):
-  * stages 1..k1 pair elements within contiguous n1-blocks -> butterflies
-    along r.  Transposing to (n1, n2) puts r on the SUBLANE axis; pass A
-    runs k1 stages on a (n1, LANE_TILE) VMEM block with the standard
-    stage-s twiddles w_{2^s}^j (a concatenated (n1,) table).
-  * stages k1+1..ln pair along q with twiddle w_{2^s}^{jq*n1 + r} =
-    (w_{2^s}^{n1})^{jq} * w_{2^s}^{r} — SEPARABLE into a sublane factor
-    (concatenated (n2,) table) and a lane factor ((k2, n1) table, block-
-    sliced per grid step).  Pass B runs them on a (n2, LANE_TILE) block of
-    the untransposed layout.
+Stage grouping (flat index after the bit-reversal permutation):
+  * pass i covers global stages base+1..base+f_i (base = sum of lower
+    factors, L = 2^base).  Its butterflies pair indices that differ in bits
+    [base, base+f_i): reshaping to (..., q, 2^{f_i}, L) contains every pair
+    inside the third axis.  For pass 1 (L=1) the trailing axis is degenerate,
+    so the array is transposed once to put the factor on sublanes; higher
+    passes block the 4-D view directly — no transpose.
+  * the stage-s twiddle w_{2^s}^{j mod 2^{s-1}} factors as
+    (w_{2^s}^{L})^{o} * w_{2^s}^{r} for j mod 2^{s-1} = o*L + r — a sublane
+    table (concat over stages, (2^{f_i},)) times a lane table ((f_i, L),
+    block-sliced per grid step).
 
-Both passes use only VPU u32 ops (olavm_tpu.field.gf two-limb arithmetic).
+Each pass uses only VPU u32 ops (olavm_tpu.field.gf two-limb arithmetic) on
+a (2^{f_i}, LANE_TILE) block — small enough that Mosaic's scoped-VMEM stack
+(16 MB) holds the unrolled stage temporaries (a single 12-stage pass
+overflows it; that is why passes are capped at F=7).
 """
 
 from __future__ import annotations
@@ -36,12 +40,8 @@ from ..field import goldilocks as g
 from ..utils.bits import bit_reversal_perm, log2_strict
 
 LANE_TILE = 128
-# pass A/B sublane counts capped so a (rows, LANE_TILE) two-limb block plus
-# its output stays well under VMEM (4096*128*4B*2limbs*2dirs = 8 MB)
-MAX_K1 = 12
-MAX_K2 = 12
+MAX_F = 7  # stages per pass (VMEM scoped-stack bound)
 
-# pallas only on TPU unless forced (interpret mode is used by tests)
 _FORCE: dict = {"mode": None}  # None = auto, True/False = override
 
 
@@ -49,60 +49,59 @@ def use_pallas(n: int) -> bool:
     import jax
 
     if _FORCE["mode"] is not None:
-        return _FORCE["mode"] and n >= (1 << 4)
+        return _FORCE["mode"] and n >= (1 << 6)
     return jax.default_backend() == "tpu" and n >= (1 << 14)
 
 
-def _split(ln: int) -> tuple[int, int]:
-    k1 = min(MAX_K1, (ln + 1) // 2)
-    k2 = ln - k1
-    if k2 > MAX_K2:  # n > 2^24: grow k1 (VMEM alarm only past 2^24)
-        k1 = ln - MAX_K2
-        k2 = MAX_K2
-    return k1, k2
+def _factors(ln: int) -> list[int]:
+    """Split ln stages into near-equal factors of at most MAX_F."""
+    m = (ln + MAX_F - 1) // MAX_F
+    base = ln // m
+    rem = ln - base * m
+    return [base + (1 if i < rem else 0) for i in range(m)]
 
 
 @functools.lru_cache(maxsize=None)
 def _twiddle_tables(ln: int, inverse: bool):
-    """Host twiddle tables for both passes as u64 numpy arrays."""
-    n = 1 << ln
-    k1, k2 = _split(ln)
-    n1, n2 = 1 << k1, 1 << k2
+    """Per-pass host twiddle tables: [(A (2^f,), B (f, L) or None)]."""
     root = g.primitive_root_of_unity(ln)
     if inverse:
         root = g.inv(root)
+    n = 1 << ln
 
-    def w(s):  # 2^s-th root consistent with `root`
+    def w(s):
         return pow(root, n >> s, g.P)
 
-    twa = np.zeros(max(n1, 2), dtype=np.uint64)  # concat stage 1..k1
-    off = 0
-    for s in range(1, k1 + 1):
-        half = 1 << (s - 1)
-        twa[off : off + half] = g.powers(w(s), half)
-        off += half
-    twq = np.zeros(max(n2, 2), dtype=np.uint64)  # concat sublane factors
-    twr = np.zeros((max(k2, 1), n1), dtype=np.uint64)  # lane factors
-    off = 0
-    for sig in range(1, k2 + 1):
-        s = k1 + sig
-        half = 1 << (sig - 1)
-        twq[off : off + half] = g.powers(pow(w(s), n1, g.P), half)
-        twr[sig - 1] = g.powers(w(s), n1)
-        off += half
-    return twa, twq, twr
+    tables = []
+    base = 0
+    for f in _factors(ln):
+        L = 1 << base
+        nf = 1 << f
+        a = np.zeros(max(nf, 8), dtype=np.uint64)
+        off = 0
+        for sig in range(1, f + 1):
+            s = base + sig
+            half = 1 << (sig - 1)
+            a[off : off + half] = g.powers(pow(w(s), L, g.P), half)
+            off += half
+        if base == 0:
+            b = None
+        else:
+            b = np.zeros((f, L), dtype=np.uint64)
+            for sig in range(1, f + 1):
+                b[sig - 1] = g.powers(w(base + sig), L)
+        tables.append((a, b))
+        base += f
+    return tables
 
 
-def _stage_ladder(lo, hi, k, rows, lt, tw_lo, tw_hi, tw2_lo=None,
+def _stage_ladder(lo, hi, f, rows, lt, tw_lo, tw_hi, tw2_lo=None,
                   tw2_hi=None):
-    """k DIT stages along the sublane axis of a (rows, lt) block.
-
-    tw_lo/tw_hi: (rows,) concatenated per-stage sublane twiddles.
-    tw2_*: optional (k, lt) per-stage lane factors (pass B)."""
+    """f DIT stages along the sublane axis of a (rows, lt) block."""
     import jax.numpy as jnp
 
     off = 0
-    for s in range(1, k + 1):
+    for s in range(1, f + 1):
         half = 1 << (s - 1)
         grp = rows >> s
         l4 = lo.reshape(grp, 2, half, lt)
@@ -131,27 +130,28 @@ def _stage_ladder(lo, hi, k, rows, lt, tw_lo, tw_hi, tw2_lo=None,
     return lo, hi
 
 
-def _pass_a_call(ln: int, inverse: bool, interpret: bool):
+def _pass1_call(f: int, rest: int, interpret: bool):
+    """First pass: factor axis transposed onto sublanes.
+    x: (b, nf, rest) -> same shape, butterflies along axis 1."""
     import jax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    k1, k2 = _split(ln)
-    n1, n2 = 1 << k1, 1 << k2
-    lt = min(LANE_TILE, n2)
+    nf = 1 << f
+    lt = min(LANE_TILE, rest)
 
     def kernel(twa_lo, twa_hi, x_lo, x_hi, o_lo, o_hi):
         lo, hi = _stage_ladder(
-            x_lo[0], x_hi[0], k1, n1, lt, twa_lo[:, 0], twa_hi[:, 0]
+            x_lo[0], x_hi[0], f, nf, lt, twa_lo[:, 0], twa_hi[:, 0]
         )
         o_lo[0] = lo
         o_hi[0] = hi
 
     def call(b, twa_lo, twa_hi, x_lo, x_hi):
-        grid = (b, n2 // lt)
-        tw_spec = pl.BlockSpec((n1, 1), lambda i, j: (0, 0),
+        grid = (b, rest // lt)
+        tw_spec = pl.BlockSpec((twa_lo.shape[0], 1), lambda i, j: (0, 0),
                                memory_space=pltpu.VMEM)
-        x_spec = pl.BlockSpec((1, n1, lt), lambda i, j: (i, 0, j),
+        x_spec = pl.BlockSpec((1, nf, lt), lambda i, j: (i, 0, j),
                               memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kernel,
@@ -168,42 +168,44 @@ def _pass_a_call(ln: int, inverse: bool, interpret: bool):
     return call
 
 
-def _pass_b_call(ln: int, inverse: bool, interpret: bool):
+def _passk_call(f: int, hi_count: int, L: int, interpret: bool):
+    """Higher pass: x viewed as (b, hi_count, nf, L); butterflies along
+    axis 2, lane tiles along L. No transposes."""
     import jax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    k1, k2 = _split(ln)
-    n1, n2 = 1 << k1, 1 << k2
-    lt = min(LANE_TILE, n1)
+    nf = 1 << f
+    lt = min(LANE_TILE, L)
 
-    def kernel(twq_lo, twq_hi, twr_lo, twr_hi, x_lo, x_hi, o_lo, o_hi):
+    def kernel(twa_lo, twa_hi, twb_lo, twb_hi, x_lo, x_hi, o_lo, o_hi):
         lo, hi = _stage_ladder(
-            x_lo[0], x_hi[0], k2, n2, lt, twq_lo[:, 0], twq_hi[:, 0],
-            twr_lo, twr_hi,
+            x_lo[0, 0], x_hi[0, 0], f, nf, lt, twa_lo[:, 0], twa_hi[:, 0],
+            twb_lo, twb_hi,
         )
-        o_lo[0] = lo
-        o_hi[0] = hi
+        o_lo[0, 0] = lo
+        o_hi[0, 0] = hi
 
-    def call(b, twq_lo, twq_hi, twr_lo, twr_hi, x_lo, x_hi):
-        grid = (b, n1 // lt)
-        twq_spec = pl.BlockSpec((n2, 1), lambda i, j: (0, 0),
+    def call(b, twa_lo, twa_hi, twb_lo, twb_hi, x_lo, x_hi):
+        grid = (b, hi_count, L // lt)
+        twa_spec = pl.BlockSpec((twa_lo.shape[0], 1),
+                                lambda i, q, j: (0, 0),
                                 memory_space=pltpu.VMEM)
-        twr_spec = pl.BlockSpec((k2, lt), lambda i, j: (0, j),
+        twb_spec = pl.BlockSpec((f, lt), lambda i, q, j: (0, j),
                                 memory_space=pltpu.VMEM)
-        x_spec = pl.BlockSpec((1, n2, lt), lambda i, j: (i, 0, j),
+        x_spec = pl.BlockSpec((1, 1, nf, lt), lambda i, q, j: (i, q, 0, j),
                               memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[twq_spec, twq_spec, twr_spec, twr_spec, x_spec, x_spec],
+            in_specs=[twa_spec, twa_spec, twb_spec, twb_spec, x_spec, x_spec],
             out_specs=(x_spec, x_spec),
             out_shape=(
                 jax.ShapeDtypeStruct(x_lo.shape, x_lo.dtype),
                 jax.ShapeDtypeStruct(x_hi.shape, x_hi.dtype),
             ),
             interpret=interpret,
-        )(twq_lo, twq_hi, twr_lo, twr_hi, x_lo, x_hi)
+        )(twa_lo, twa_hi, twb_lo, twb_hi, x_lo, x_hi)
 
     return call
 
@@ -216,8 +218,6 @@ def ntt_pallas(x: gf.GF, inverse: bool = False,
 
     n = x.shape[-1]
     ln = log2_strict(n)
-    k1, k2 = _split(ln)
-    n1, n2 = 1 << k1, 1 << k2
     if interpret is None:
         import jax
 
@@ -228,25 +228,37 @@ def ntt_pallas(x: gf.GF, inverse: bool = False,
     for d in batch_shape:
         b *= d
 
-    twa, twq, twr = _twiddle_tables(ln, inverse)
-    twa_d = gf.from_u64(twa.reshape(-1, 1))
-    twq_d = gf.from_u64(twq.reshape(-1, 1))
-    twr_d = gf.from_u64(twr)
+    tables = _twiddle_tables(ln, inverse)
+    factors = _factors(ln)
 
     perm = jnp.asarray(bit_reversal_perm(n))
     lo = jnp.take(x.lo.reshape(b, n), perm, axis=-1)
     hi = jnp.take(x.hi.reshape(b, n), perm, axis=-1)
 
-    # pass A on (b, n1, n2) transposed layout
-    lo = lo.reshape(b, n2, n1).swapaxes(1, 2)
-    hi = hi.reshape(b, n2, n1).swapaxes(1, 2)
-    lo, hi = _pass_a_call(ln, inverse, interpret)(
-        b, twa_d.lo, twa_d.hi, lo, hi
-    )
-    # pass B on the natural (b, n2, n1) layout
-    lo = lo.swapaxes(1, 2)
-    hi = hi.swapaxes(1, 2)
-    lo, hi = _pass_b_call(ln, inverse, interpret)(
-        b, twq_d.lo, twq_d.hi, twr_d.lo, twr_d.hi, lo, hi
-    )
+    base = 0
+    for i, f in enumerate(factors):
+        nf = 1 << f
+        L = 1 << base
+        a_tab, b_tab = tables[i]
+        twa = gf.from_u64(a_tab.reshape(-1, 1))
+        if i == 0:
+            rest = n // nf
+            lo = lo.reshape(b, rest, nf).swapaxes(1, 2)
+            hi = hi.reshape(b, rest, nf).swapaxes(1, 2)
+            lo, hi = _pass1_call(f, rest, interpret)(
+                b, twa.lo, twa.hi, lo, hi
+            )
+            lo = lo.swapaxes(1, 2).reshape(b, n)
+            hi = hi.swapaxes(1, 2).reshape(b, n)
+        else:
+            hi_count = n // (nf * L)
+            twb = gf.from_u64(b_tab)
+            lo = lo.reshape(b, hi_count, nf, L)
+            hi = hi.reshape(b, hi_count, nf, L)
+            lo, hi = _passk_call(f, hi_count, L, interpret)(
+                b, twa.lo, twa.hi, twb.lo, twb.hi, lo, hi
+            )
+            lo = lo.reshape(b, n)
+            hi = hi.reshape(b, n)
+        base += f
     return gf.GF(lo.reshape(*batch_shape, n), hi.reshape(*batch_shape, n))
