@@ -39,8 +39,22 @@ def _split_limbs(lo, hi):
             piece = (lo_part | hi_part) & _MASK
         else:
             piece = (hi >> np.uint32(start - 32)) & _MASK
-        limbs.append(piece.astype(jnp.float32))
+        limbs.append(_to_f32(piece))
     return limbs
+
+
+def _to_f32(x):
+    """u32 (< 2^25) -> exact f32. Mosaic has no u32->f32 cast; go via i32."""
+    import jax.numpy as jnp
+
+    return x.astype(jnp.int32).astype(jnp.float32)
+
+
+def _to_u32(x):
+    """f32 integer (< 2^25) -> u32, via i32 for Mosaic."""
+    import jax.numpy as jnp
+
+    return x.astype(jnp.int32).astype(jnp.uint32)
 
 
 def mul64_limbs_f32(a_lo, a_hi, b_lo, b_hi):
@@ -54,9 +68,9 @@ def mul64_u32_f32(a_lo, a_hi, k):
     import jax.numpy as jnp
 
     b = [
-        (k & _MASK).astype(jnp.float32),
-        ((k >> np.uint32(LIMB_BITS)) & _MASK).astype(jnp.float32),
-        (k >> np.uint32(2 * LIMB_BITS)).astype(jnp.float32),
+        _to_f32(k & _MASK),
+        _to_f32((k >> np.uint32(LIMB_BITS)) & _MASK),
+        _to_f32(k >> np.uint32(2 * LIMB_BITS)),
     ]
     return _limb_product(_split_limbs(a_lo, a_hi), b)
 
@@ -79,10 +93,10 @@ def _limb_product(a: list, b: list):
         # pair up in f32 (exact: 2 * 2^22 = 2^23 < 2^24), convert, add
         acc = None
         for t in range(0, len(prods_f32) - 1, 2):
-            pair = (prods_f32[t] + prods_f32[t + 1]).astype(jnp.uint32)
+            pair = _to_u32(prods_f32[t] + prods_f32[t + 1])
             acc = pair if acc is None else acc + pair
         if len(prods_f32) % 2:
-            last = prods_f32[-1].astype(jnp.uint32)
+            last = _to_u32(prods_f32[-1])
             acc = last if acc is None else acc + last
         cols[k] = acc  # < 3 * 2^23 < 2^25
 

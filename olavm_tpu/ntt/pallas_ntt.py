@@ -40,7 +40,7 @@ from ..field import goldilocks as g
 from ..utils.bits import bit_reversal_perm, log2_strict
 
 LANE_TILE = 128
-MAX_F = 7  # stages per pass (VMEM scoped-stack bound)
+MAX_F = 6  # stages per pass (VMEM scoped-stack bound; f32-limb mul temporaries)
 
 _FORCE: dict = {"mode": None}  # None = auto, True/False = override
 

@@ -52,16 +52,42 @@ def _bw_for(device) -> float:
     return HBM_BW["cpu"]
 
 
-def _timeit(fn, *args, reps=5):
+def _sync(out):
+    """Force execution of everything queued: pull ONE element of the last
+    output (block_until_ready is a no-op through the axon tunnel; the
+    device stream is in-order, so a 4-byte pull of the newest result fences
+    every prior dispatch)."""
     import jax
 
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(leaf.reshape(-1)[:1])
+
+
+def _timeit(fn, *args, reps=5):
     out = fn(*args)
-    jax.block_until_ready(out)  # compile + warm
+    _sync(out)  # compile + warm
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+    _sync(out)
+    # subtract one D2H pull latency (~25-50 ms through the tunnel)
+    t = (time.perf_counter() - t0 - _PULL_LATENCY[0]) / reps
+    return max(t, 1e-9)
+
+
+_PULL_LATENCY = [0.0]
+
+
+def _calibrate_pull():
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda a: a + 1)
+    x = jnp.ones((8,), jnp.uint32)
+    np.asarray(f(x))
+    t0 = time.perf_counter()
+    np.asarray(f(x))
+    _PULL_LATENCY[0] = time.perf_counter() - t0
 
 
 def measure(log_n: int = 20, cols: int = 16) -> dict:
@@ -73,6 +99,7 @@ def measure(log_n: int = 20, cols: int = 16) -> dict:
     from olavm_tpu.utils.platform import enable_compile_cache
 
     enable_compile_cache()
+    _calibrate_pull()
     dev = jax.devices()[0]
     bw = _bw_for(dev)
     n = 1 << log_n
