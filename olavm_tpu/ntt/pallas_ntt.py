@@ -1,32 +1,30 @@
 """Pallas TPU NTT kernel: multi-pass VMEM-resident butterflies.
 
 Replaces the whole-array jnp butterfly ladder (ntt/ntt.py) for large sizes.
-The jnp form costs ~2 HBM round-trips per stage (log2(n) stages); this
-kernel partitions the radix-2 DIT network into ceil(ln/F) passes, each
-running F stages inside VMEM, so HBM traffic is
+The jnp form costs ~2 HBM round-trips per stage plus a catastrophic flat
+bit-reversal gather (~150 ms for 2^23 x 2 on v5e — 70x a same-size copy).
+This kernel partitions the radix-2 DIT network into ceil(ln/F) passes, each
+running F stages inside VMEM on (2^F, LANE_TILE) blocks, so HBM traffic is
 
-    bit-reversal gather + transpose + pass1 + transpose + pass2 + ... passM
+    decomposed bit-reversal + per-pass (transpose in, butterflies, transpose
+    out)  ~= (1 + 2*M) copies instead of ~2*log2(n) + gather.
 
-~(3 + M) round trips instead of ~2*log2(n).  This is the TPU analogue of the
-reference's CUDA NTT (/root/reference/plonky2/field/src/cfft/ntt/mod.rs) and
-SIMD fft (field/src/fft.rs:99-170).
+This is the TPU analogue of the reference's CUDA NTT
+(/root/reference/plonky2/field/src/cfft/ntt/mod.rs) and SIMD fft
+(field/src/fft.rs:99-170).
 
-Stage grouping (flat index after the bit-reversal permutation):
-  * pass i covers global stages base+1..base+f_i (base = sum of lower
-    factors, L = 2^base).  Its butterflies pair indices that differ in bits
-    [base, base+f_i): reshaping to (..., q, 2^{f_i}, L) contains every pair
-    inside the third axis.  For pass 1 (L=1) the trailing axis is degenerate,
-    so the array is transposed once to put the factor on sublanes; higher
-    passes block the 4-D view directly — no transpose.
-  * the stage-s twiddle w_{2^s}^{j mod 2^{s-1}} factors as
-    (w_{2^s}^{L})^{o} * w_{2^s}^{r} for j mod 2^{s-1} = o*L + r — a sublane
-    table (concat over stages, (2^{f_i},)) times a lane table ((f_i, L),
-    block-sliced per grid step).
-
-Each pass uses only VPU u32 ops (olavm_tpu.field.gf two-limb arithmetic) on
-a (2^{f_i}, LANE_TILE) block — small enough that Mosaic's scoped-VMEM stack
-(16 MB) holds the unrolled stage temporaries (a single 12-stage pass
-overflows it; that is why passes are capped at F=7).
+Key design points (all measured on v5e via the axon tunnel):
+  * no flat gather: rev(j) over ln bits = reverse the factor-axis ORDER
+    (a transpose, ~2 ms) + per-axis small bit-reversal takes.
+  * butterflies via sublane ROLLS + parity masks, not strided reshapes —
+    Mosaic lowers (g, 2, half, lt) reshape/stack chains to sublane shuffles
+    that ran ~30x slower than the roll form.
+  * the stage-s twiddle w_{2^s}^{j mod 2^{s-1}} factors into a sublane
+    table ((nf, f), one column per stage) times a lane factor ((f, LT),
+    periodic in the flat lane index with period L = 2^(stages below)) —
+    so EVERY pass uses the same kernel on a (b, nf, n/nf) transposed view.
+  * integer multiplies inside the kernel go through the f32-limb path
+    (field/gf_f32.py) — the VPU emulates u32 multiply ~50x slower than f32.
 """
 
 from __future__ import annotations
@@ -39,8 +37,8 @@ from ..field import gf
 from ..field import goldilocks as g
 from ..utils.bits import bit_reversal_perm, log2_strict
 
-LANE_TILE = 128
-MAX_F = 6  # stages per pass (VMEM scoped-stack bound; f32-limb mul temporaries)
+LANE_TILE = 512
+MAX_F = 6  # stages per pass (VMEM scoped-stack bound)
 
 _FORCE: dict = {"mode": None}  # None = auto, True/False = override
 
@@ -63,7 +61,15 @@ def _factors(ln: int) -> list[int]:
 
 @functools.lru_cache(maxsize=None)
 def _twiddle_tables(ln: int, inverse: bool):
-    """Per-pass host twiddle tables: [(A (2^f,), B (f, L) or None)]."""
+    """Per-pass host twiddle tables.
+
+    For pass p (factor f, L = 2^(sum of lower factors)) the stage-s
+    twiddle at butterfly position j = o*L + r (o = offset along the
+    factor axis, r = flat offset within the lower factors) is
+    w_{2^s}^{(o mod 2^{sig-1})*L} * w_{2^s}^{r}.  Returns per pass:
+      a_full: (nf, f) u64 — column sig-1 holds w_{2^s}^{L*(o mod half)}
+      b_tab:  (f, L) u64 or None (L == 1) — lane factor, periodic in r.
+    """
     root = g.primitive_root_of_unity(ln)
     if inverse:
         root = g.inv(root)
@@ -77,123 +83,103 @@ def _twiddle_tables(ln: int, inverse: bool):
     for f in _factors(ln):
         L = 1 << base
         nf = 1 << f
-        a = np.zeros(max(nf, 8), dtype=np.uint64)
-        off = 0
+        a_full = np.ones((nf, max(f, 1)), dtype=np.uint64)
         for sig in range(1, f + 1):
             s = base + sig
             half = 1 << (sig - 1)
-            a[off : off + half] = g.powers(pow(w(s), L, g.P), half)
-            off += half
+            pw = g.powers(pow(w(s), L, g.P), half)
+            o = np.arange(nf)
+            a_full[:, sig - 1] = pw[o & (half - 1)]
         if base == 0:
-            b = None
+            b_tab = None
         else:
-            b = np.zeros((f, L), dtype=np.uint64)
+            b_tab = np.zeros((f, L), dtype=np.uint64)
             for sig in range(1, f + 1):
-                b[sig - 1] = g.powers(w(base + sig), L)
-        tables.append((a, b))
+                b_tab[sig - 1] = g.powers(w(base + sig), L)
+        tables.append((a_full, b_tab))
         base += f
     return tables
 
 
-def _stage_ladder(lo, hi, f, rows, lt, tw_lo, tw_hi, tw2_lo=None,
-                  tw2_hi=None):
-    """f DIT stages along the sublane axis of a (rows, lt) block."""
-    import jax.numpy as jnp
+def _stage_ladder_roll(lo, hi, f, rows, lt, twa_lo, twa_hi,
+                       twb_lo=None, twb_hi=None):
+    """f DIT stages along the sublane axis of a (rows, lt) block using
+    sublane rolls + parity masks (no strided reshapes).
 
-    off = 0
+    twa_*: (rows, f) per-stage sublane twiddle columns.
+    twb_*: optional (f, lt) per-stage lane factors.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    def roll(x, sh):
+        try:
+            return pltpu.roll(x, sh, axis=0)
+        except Exception:  # interpret mode fallback
+            return jnp.roll(x, sh, axis=0)
+
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (rows, lt), 0)
     for s in range(1, f + 1):
         half = 1 << (s - 1)
-        grp = rows >> s
-        l4 = lo.reshape(grp, 2, half, lt)
-        h4 = hi.reshape(grp, 2, half, lt)
-        u = gf.GF(l4[:, 0], h4[:, 0])
-        v = gf.GF(l4[:, 1], h4[:, 1])
-        t_lo = jnp.broadcast_to(tw_lo[off : off + half].reshape(1, half, 1),
-                                (grp, half, lt))
-        t_hi = jnp.broadcast_to(tw_hi[off : off + half].reshape(1, half, 1),
-                                (grp, half, lt))
-        tw = gf.GF(t_lo, t_hi)
-        if tw2_lo is not None:
+        even = (row_id & half) == 0
+        dn_lo = roll(lo, -half)
+        dn_hi = roll(hi, -half)
+        up_lo = roll(lo, half)
+        up_hi = roll(hi, half)
+        # u = even ? x : x[i-half];  v = even ? x[i+half] : x
+        u = gf.GF(jnp.where(even, lo, up_lo), jnp.where(even, hi, up_hi))
+        v = gf.GF(jnp.where(even, dn_lo, lo), jnp.where(even, dn_hi, hi))
+        tw = gf.GF(
+            jnp.broadcast_to(twa_lo[:, s - 1 : s], (rows, lt)),
+            jnp.broadcast_to(twa_hi[:, s - 1 : s], (rows, lt)),
+        )
+        if twb_lo is not None:
             lane = gf.GF(
-                jnp.broadcast_to(tw2_lo[s - 1].reshape(1, 1, lt),
-                                 (grp, half, lt)),
-                jnp.broadcast_to(tw2_hi[s - 1].reshape(1, 1, lt),
-                                 (grp, half, lt)),
+                jnp.broadcast_to(twb_lo[s - 1 : s, :], (rows, lt)),
+                jnp.broadcast_to(twb_hi[s - 1 : s, :], (rows, lt)),
             )
             tw = gf.mul(tw, lane)
-        tv = gf.mul(v, tw)
-        a = gf.add(u, tv)
-        b = gf.sub(u, tv)
-        lo = jnp.stack([a.lo, b.lo], axis=1).reshape(rows, lt)
-        hi = jnp.stack([a.hi, b.hi], axis=1).reshape(rows, lt)
-        off += half
+        t = gf.mul(v, tw)
+        add = gf.add(u, t)
+        sub = gf.sub(u, t)
+        lo = jnp.where(even, add.lo, sub.lo)
+        hi = jnp.where(even, add.hi, sub.hi)
     return lo, hi
 
 
-def _pass1_call(f: int, rest: int, interpret: bool):
-    """First pass: factor axis transposed onto sublanes.
-    x: (b, nf, rest) -> same shape, butterflies along axis 1."""
+def _pass_call(f: int, rest: int, L: int, interpret: bool):
+    """One pass on the TRANSPOSED view x: (b, nf, rest), rest = n/nf.
+    Butterflies along axis 1; lane twiddle factor periodic with period L
+    (L == 1 -> no lane factor)."""
     import jax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     nf = 1 << f
     lt = min(LANE_TILE, rest)
+    if L > 1:
+        assert lt % L == 0 or L % lt == 0
 
-    def kernel(twa_lo, twa_hi, x_lo, x_hi, o_lo, o_hi):
-        lo, hi = _stage_ladder(
-            x_lo[0], x_hi[0], f, nf, lt, twa_lo[:, 0], twa_hi[:, 0]
+    def kernel(twa_lo, twa_hi, twb_lo, twb_hi, x_lo, x_hi, o_lo, o_hi):
+        lo, hi = _stage_ladder_roll(
+            x_lo[0], x_hi[0], f, nf, lt, twa_lo, twa_hi,
+            twb_lo if L > 1 else None, twb_hi if L > 1 else None,
         )
         o_lo[0] = lo
         o_hi[0] = hi
 
-    def call(b, twa_lo, twa_hi, x_lo, x_hi):
-        grid = (b, rest // lt)
-        tw_spec = pl.BlockSpec((twa_lo.shape[0], 1), lambda i, j: (0, 0),
-                               memory_space=pltpu.VMEM)
-        x_spec = pl.BlockSpec((1, nf, lt), lambda i, j: (i, 0, j),
-                              memory_space=pltpu.VMEM)
-        return pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[tw_spec, tw_spec, x_spec, x_spec],
-            out_specs=(x_spec, x_spec),
-            out_shape=(
-                jax.ShapeDtypeStruct(x_lo.shape, x_lo.dtype),
-                jax.ShapeDtypeStruct(x_hi.shape, x_hi.dtype),
-            ),
-            interpret=interpret,
-        )(twa_lo, twa_hi, x_lo, x_hi)
-
-    return call
-
-
-def _passk_call(f: int, hi_count: int, L: int, interpret: bool):
-    """Higher pass: x viewed as (b, hi_count, nf, L); butterflies along
-    axis 2, lane tiles along L. No transposes."""
-    import jax
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    nf = 1 << f
-    lt = min(LANE_TILE, L)
-
-    def kernel(twa_lo, twa_hi, twb_lo, twb_hi, x_lo, x_hi, o_lo, o_hi):
-        lo, hi = _stage_ladder(
-            x_lo[0, 0], x_hi[0, 0], f, nf, lt, twa_lo[:, 0], twa_hi[:, 0],
-            twb_lo, twb_hi,
-        )
-        o_lo[0, 0] = lo
-        o_hi[0, 0] = hi
-
     def call(b, twa_lo, twa_hi, twb_lo, twb_hi, x_lo, x_hi):
-        grid = (b, hi_count, L // lt)
-        twa_spec = pl.BlockSpec((twa_lo.shape[0], 1),
-                                lambda i, q, j: (0, 0),
+        grid = (b, rest // lt)
+        twa_spec = pl.BlockSpec((nf, twa_lo.shape[1]), lambda i, j: (0, 0),
                                 memory_space=pltpu.VMEM)
-        twb_spec = pl.BlockSpec((f, lt), lambda i, q, j: (0, j),
+        if L > lt:
+            twb_map = (lambda i, j: (0, j % (L // lt)))
+        else:
+            twb_map = (lambda i, j: (0, 0))
+        twb_spec = pl.BlockSpec((twb_lo.shape[0], lt), twb_map,
                                 memory_space=pltpu.VMEM)
-        x_spec = pl.BlockSpec((1, 1, nf, lt), lambda i, q, j: (i, q, 0, j),
+        x_spec = pl.BlockSpec((1, nf, lt), lambda i, j: (i, 0, j),
                               memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kernel,
@@ -208,6 +194,14 @@ def _passk_call(f: int, hi_count: int, L: int, interpret: bool):
         )(twa_lo, twa_hi, twb_lo, twb_hi, x_lo, x_hi)
 
     return call
+
+
+def _lane_table(b_tab, L: int, lt: int) -> np.ndarray:
+    """(f, L) lane factors -> (f, max(L, lt)) table (tiled when L < lt)."""
+    if L >= lt:
+        return b_tab
+    reps = lt // L
+    return np.tile(b_tab, (1, reps))
 
 
 def ntt_pallas(x: gf.GF, inverse: bool = False,
@@ -231,34 +225,43 @@ def ntt_pallas(x: gf.GF, inverse: bool = False,
     tables = _twiddle_tables(ln, inverse)
     factors = _factors(ln)
 
-    perm = jnp.asarray(bit_reversal_perm(n))
-    lo = jnp.take(x.lo.reshape(b, n), perm, axis=-1)
-    hi = jnp.take(x.hi.reshape(b, n), perm, axis=-1)
+    # bit-reversal WITHOUT a flat gather: rev(j) over ln bits = reverse the
+    # factor-axis ORDER (a transpose) + per-axis small bit-reversal takes.
+    shapes = [1 << f for f in factors]  # f1 (lowest bits) .. fm (highest)
+    ax_perm = tuple([0] + list(range(len(shapes), 0, -1)))
+
+    def brv(arr):
+        y = arr.reshape((b,) + tuple(reversed(shapes)))  # (b, fm, .., f1)
+        y = y.transpose(ax_perm)  # (b, f1, .., fm)
+        for ax, f in enumerate(factors):
+            pf = jnp.asarray(bit_reversal_perm(1 << f))
+            y = jnp.take(y, pf, axis=ax + 1)
+        return y.reshape(b, n)
+
+    lo = brv(x.lo.reshape(b, n))
+    hi = brv(x.hi.reshape(b, n))
 
     base = 0
     for i, f in enumerate(factors):
         nf = 1 << f
         L = 1 << base
-        a_tab, b_tab = tables[i]
-        twa = gf.from_u64(a_tab.reshape(-1, 1))
-        if i == 0:
-            rest = n // nf
-            lo = lo.reshape(b, rest, nf).swapaxes(1, 2)
-            hi = hi.reshape(b, rest, nf).swapaxes(1, 2)
-            lo, hi = _pass1_call(f, rest, interpret)(
-                b, twa.lo, twa.hi, lo, hi
-            )
-            lo = lo.swapaxes(1, 2).reshape(b, n)
-            hi = hi.swapaxes(1, 2).reshape(b, n)
+        rest = n // nf
+        lt = min(LANE_TILE, rest)
+        a_full, b_tab = tables[i]
+        twa = gf.from_u64(a_full)
+        if b_tab is None:
+            twb = gf.from_u64(np.ones((max(f, 1), lt), dtype=np.uint64))
         else:
-            hi_count = n // (nf * L)
-            twb = gf.from_u64(b_tab)
-            lo = lo.reshape(b, hi_count, nf, L)
-            hi = hi.reshape(b, hi_count, nf, L)
-            lo, hi = _passk_call(f, hi_count, L, interpret)(
-                b, twa.lo, twa.hi, twb.lo, twb.hi, lo, hi
-            )
-            lo = lo.reshape(b, n)
-            hi = hi.reshape(b, n)
+            twb = gf.from_u64(_lane_table(b_tab, L, lt))
+        # bring the factor axis onto sublanes: (b, hi_cnt, nf, L) ->
+        # (b, nf, hi_cnt, L) == (b, nf, rest)
+        hi_cnt = n // (nf * L)
+        lo = lo.reshape(b, hi_cnt, nf, L).swapaxes(1, 2).reshape(b, nf, rest)
+        hi = hi.reshape(b, hi_cnt, nf, L).swapaxes(1, 2).reshape(b, nf, rest)
+        lo, hi = _pass_call(f, rest, L, interpret)(
+            b, twa.lo, twa.hi, twb.lo, twb.hi, lo, hi
+        )
+        lo = (lo.reshape(b, nf, hi_cnt, L).swapaxes(1, 2)).reshape(b, n)
+        hi = (hi.reshape(b, nf, hi_cnt, L).swapaxes(1, 2)).reshape(b, n)
         base += f
     return gf.GF(lo.reshape(*batch_shape, n), hi.reshape(*batch_shape, n))
