@@ -250,7 +250,26 @@ def exp_const(a: GF, e: int) -> GF:
 
 
 def inv(a: GF) -> GF:
-    return exp_const(a, 0xFFFFFFFF00000001 - 2)
+    """a^(p-2) via lax.scan over the exponent bits.
+
+    NOT an inlined square-and-multiply chain: p-2 has 62 set bits, and XLA
+    compile time explodes superlinearly past ~30 CHAINED muls (measured
+    round 4: depth 30 = 2.4s, depth 40 = >400s). The scan compiles ONE
+    square+multiply body; runtime is the same ~126 muls."""
+    import jax
+
+    e = 0xFFFFFFFF00000001 - 2
+    bits = jnp.asarray(
+        np.array([(e >> i) & 1 for i in range(e.bit_length())], np.uint32))
+
+    def body(carry, bit):
+        acc, base = carry
+        m = mul(acc, base)
+        acc = GF(jnp.where(bit, m.lo, acc.lo), jnp.where(bit, m.hi, acc.hi))
+        return (acc, square(base)), None
+
+    (acc, _), _ = jax.lax.scan(body, (ones(a.lo.shape), a), bits)
+    return acc
 
 
 def powers(base: GF | int, n: int) -> GF:
@@ -296,15 +315,28 @@ def sum_reduce(x: GF, axis: int = -1) -> GF:
 
 
 def prefix_prod(x: GF, axis: int = -1) -> GF:
-    """Inclusive modular prefix product via associative scan (log depth)."""
-    import jax
+    """Inclusive modular prefix product, log depth (Hillis-Steele).
 
-    def op(a, b):
-        r = mul(GF(a[0], a[1]), GF(b[0], b[1]))
-        return (r.lo, r.hi)
-
-    lo, hi = jax.lax.associative_scan(op, (x.lo, x.hi), axis=axis)
-    return GF(lo, hi)
+    NOT lax.associative_scan: its recursive odd/even interleave lowers to
+    strided slice+concat chains that send the XLA:CPU simplifier into a
+    pathological (>10 min) compile for this mul body (measured round 4).
+    The Hillis-Steele form is a LINEAR chain of shift+mul steps — ~2x the
+    multiplies (2n log n vs ~4n) but compiles in seconds and the muls are
+    bandwidth-noise on TPU."""
+    lo = jnp.moveaxis(x.lo, axis, -1)
+    hi = jnp.moveaxis(x.hi, axis, -1)
+    n = lo.shape[-1]
+    y = GF(lo, hi)
+    d = 1
+    while d < n:
+        pad = [(0, 0)] * (lo.ndim - 1) + [(d, 0)]
+        sh = GF(
+            jnp.pad(y.lo[..., :-d], pad, constant_values=1),  # identity = 1
+            jnp.pad(y.hi[..., :-d], pad, constant_values=0),
+        )
+        y = mul(y, sh)
+        d <<= 1
+    return GF(jnp.moveaxis(y.lo, -1, axis), jnp.moveaxis(y.hi, -1, axis))
 
 
 def select(pred, a: GF, b: GF) -> GF:

@@ -48,19 +48,31 @@ def _g(xp, s, a, b, c, d, x, y):
     s[b] = _rotr(xp, s[b] ^ s[c], 7)
 
 
-def compress(xp, cv, m, block_len: int, flags: int, shape, counter: int = 0):
+def _lane(xp, v, shape):
+    """Broadcast a host int OR a traced u32 scalar to a `shape` lane."""
+    if isinstance(v, (int, np.integer)):
+        return xp.full(shape, v, np.uint32)
+    return xp.broadcast_to(v.astype(np.uint32), shape)
+
+
+def compress(xp, cv, m, block_len, flags, shape, counter: int = 0):
     """One compression: cv = 8 lanes, m = 16 lanes, returns 8 lanes.
 
     Lanes are uint32 arrays of `shape` (scalars broadcast fine). counter is
     the chunk counter (0 for single-chunk messages / parent nodes).
+    block_len and flags may be host ints or traced u32 scalars — passing
+    them traced lets one compiled graph serve any block position.
     """
     u = np.uint32
+    if isinstance(counter, (int, np.integer)):
+        c_lo, c_hi = counter & 0xFFFFFFFF, counter >> 32
+    else:  # traced u32 scalar (chunk counters fit 32 bits here)
+        c_lo, c_hi = counter, 0
     s = list(cv) + [
         xp.full(shape, IV[0], u), xp.full(shape, IV[1], u),
         xp.full(shape, IV[2], u), xp.full(shape, IV[3], u),
-        xp.full(shape, counter & 0xFFFFFFFF, u),
-        xp.full(shape, counter >> 32, u),
-        xp.full(shape, block_len, u), xp.full(shape, flags, u),
+        _lane(xp, c_lo, shape), _lane(xp, c_hi, shape),
+        _lane(xp, block_len, shape), _lane(xp, flags, shape),
     ]
     m = list(m)
     for r in range(7):

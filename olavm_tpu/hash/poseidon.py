@@ -335,13 +335,19 @@ def _full_rounds_scan(state: gf.GF, rc_slice: gf.GF) -> gf.GF:
 
 
 def _partial_rounds_scan(state: gf.GF) -> gf.GF:
-    """All 22 partial rounds under scan (fast MDS form)."""
+    """All 22 partial rounds under scan (fast MDS form).
 
-    def body(st, consts):
+    The carry keeps s0 and the 11 'rest' lanes SEPARATE and concatenates
+    only once at the end: a per-round concatenate([d, rest]) immediately
+    re-sliced as [0] / [1:] by the next round sends XLA:CPU's HLO
+    simplifier into a pathological rewrite loop (>10 min compile for TWO
+    rounds, measured round 4)."""
+
+    def body(carry, consts):
+        s0, rest = carry
         rc, vs_row, wh_row, is_last = consts
-        s0 = _sbox_gf(gf.GF(st.lo[0], st.hi[0]))
+        s0 = _sbox_gf(s0)
         s0 = gf.select(is_last == 0, gf.add(s0, rc), s0)
-        rest = gf.GF(st.lo[1:], st.hi[1:])
         # d = s0 * mds0to0 + sum_i rest[i] * w_hats[i]
         extra = (1,) * (rest.lo.ndim - 1)
         wh = gf.GF(
@@ -358,17 +364,18 @@ def _partial_rounds_scan(state: gf.GF) -> gf.GF:
             jnp.broadcast_to(s0.hi[None], rest.hi.shape),
         )
         new_rest = gf.add(gf.mul(s0b, vs), rest)
-        new_st = gf.GF(
-            jnp.concatenate([d.lo[None], new_rest.lo], axis=0),
-            jnp.concatenate([d.hi[None], new_rest.hi], axis=0),
-        )
-        return new_st, None
+        return (d, new_rest), None
 
     is_last = np.zeros(N_PARTIAL_ROUNDS, dtype=np.uint32)
     is_last[-1] = 1
     consts = (_P_CONSTS, _P_VS, _P_WHATS, jnp.asarray(is_last))
-    out, _ = jax.lax.scan(body, state, consts)
-    return out
+    carry0 = (gf.GF(state.lo[0], state.hi[0]),
+              gf.GF(state.lo[1:], state.hi[1:]))
+    (s0, rest), _ = jax.lax.scan(body, carry0, consts)
+    return gf.GF(
+        jnp.concatenate([s0.lo[None], rest.lo], axis=0),
+        jnp.concatenate([s0.hi[None], rest.hi], axis=0),
+    )
 
 
 def _mds_partial_layer_init_gf(state: gf.GF) -> gf.GF:
@@ -425,12 +432,15 @@ def permute_stacked_gf_unrolled(state: gf.GF) -> gf.GF:
         state = full_round(state, r)
     state = gf.add(state, _bcast_row(_PF_CONST, state))
     state = _mds_partial_layer_init_gf(state)
+    # s0 / rest carried separately, one concatenate at the end (see
+    # _partial_rounds_scan: per-round concat+reslice is an XLA:CPU
+    # compile-time pathology)
+    s0 = gf.GF(state.lo[0], state.hi[0])
+    rest = gf.GF(state.lo[1:], state.hi[1:])
     for i in range(N_PARTIAL_ROUNDS):
-        st = state
-        s0 = _sbox_gf(gf.GF(st.lo[0], st.hi[0]))
+        s0 = _sbox_gf(s0)
         if i < N_PARTIAL_ROUNDS - 1:
             s0 = gf.add(s0, gf.GF(_P_CONSTS.lo[i], _P_CONSTS.hi[i]))
-        rest = gf.GF(st.lo[1:], st.hi[1:])
         extra = (1,) * (rest.lo.ndim - 1)
         wh = gf.GF(
             _P_WHATS.lo[i].reshape((WIDTH - 1,) + extra),
@@ -447,11 +457,12 @@ def permute_stacked_gf_unrolled(state: gf.GF) -> gf.GF:
             jnp.broadcast_to(s0.lo[None], rest.lo.shape),
             jnp.broadcast_to(s0.hi[None], rest.hi.shape),
         )
-        new_rest = gf.add(gf.mul(s0b, vs), rest)
-        state = gf.GF(
-            jnp.concatenate([d.lo[None], new_rest.lo], axis=0),
-            jnp.concatenate([d.hi[None], new_rest.hi], axis=0),
-        )
+        rest = gf.add(gf.mul(s0b, vs), rest)
+        s0 = d
+    state = gf.GF(
+        jnp.concatenate([s0.lo[None], rest.lo], axis=0),
+        jnp.concatenate([s0.hi[None], rest.hi], axis=0),
+    )
     for r in range(26, 30):
         state = full_round(state, r)
     return state

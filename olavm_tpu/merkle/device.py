@@ -25,12 +25,17 @@ from ..hash import poseidon as pos
 
 
 def _gf_cols_to_words(leaves: gf.GF) -> list:
-    """(n, C) GF -> 2C u32 lanes in little-endian u64 byte order."""
+    """(n, C) GF -> 2C u32 lanes in little-endian u64 byte order.
+
+    Transposes first: strided column slices ([:, c]) feeding a hash chain
+    hit XLA:CPU's pathological codegen path (round-4 finding)."""
     n, C = leaves.shape
+    lo = leaves.lo.T
+    hi = leaves.hi.T
     words = []
     for c in range(C):
-        words.append(leaves.lo[:, c])
-        words.append(leaves.hi[:, c])
+        words.append(lo[c])
+        words.append(hi[c])
     return words
 
 
@@ -107,28 +112,56 @@ def leaf_stream_init(xp, shape, hasher_kind: str) -> list:
     return [z] * 24
 
 
-def leaf_stream_absorb(xp, state: list, words: list, col_offset: int,
-                       total_cols: int, hasher_kind: str) -> list:
-    """Absorb `len(words)//2` columns' word lanes starting at column
-    `col_offset` of a `total_cols`-column leaf. Returns the new state."""
+def absorb_block_meta(total_cols: int):
+    """Per-64-byte-block (flags, blen, counter) u32 arrays for a blake3
+    message of total_cols u64 columns, following the blake3 chunk structure
+    (1024-byte chunks; ROOT only set when the message is a single chunk —
+    multi-chunk parents are hashed by the finalize step). These are passed
+    as TRACED args to leaf_stream_absorb so one compiled graph serves any
+    block position of any table (round-4 graph-count collapse)."""
+    total_bytes = 8 * total_cols
+    nblocks = max(1, (total_bytes + 63) // 64)
+    nchunks = max(1, (total_bytes + 1023) // 1024)
+    flags = np.zeros(nblocks, dtype=np.uint32)
+    blen = np.full(nblocks, 64, dtype=np.uint32)
+    counter = np.zeros(nblocks, dtype=np.uint32)
+    blen[-1] = total_bytes - 64 * (nblocks - 1)
+    for b in range(nblocks):
+        chunk = b // 16
+        counter[b] = chunk
+        if b % 16 == 0:
+            flags[b] |= b3.CHUNK_START
+        if b == nblocks - 1 or b % 16 == 15:
+            flags[b] |= b3.CHUNK_END
+            if nchunks == 1:
+                flags[b] |= b3.ROOT
+    return flags, blen, counter
+
+
+def leaf_stream_absorb(xp, state: list, words: list, flags_arr, blen_arr,
+                       hasher_kind: str, counter_arr=None) -> list:
+    """Absorb `len(words)//2` columns' word lanes into the running per-leaf
+    states. Columns must be a multiple of 8 (one blake3 64-byte block /
+    one poseidon rate), except for the final tail block.
+
+    flags_arr / blen_arr / counter_arr: one u32 entry per 64-byte block
+    covered by these words (slices of absorb_block_meta's arrays) — host
+    ints or traced scalars; ALL position information lives in them. Ignored
+    by poseidon (its overwrite sponge is position-independent). Chunk
+    RESETS (multi-chunk messages) are structural and handled by the caller
+    between absorb calls."""
     k = len(words) // 2
-    assert col_offset % 8 == 0
-    assert (col_offset + k == total_cols) or (k % 8 == 0)
     shape = words[0].shape
     if hasher_kind == "blake3":
-        total_bytes = 8 * total_cols
-        nblocks = max(1, (total_bytes + 63) // 64)
         cv = list(state)
         zero = xp.zeros(shape, np.uint32)
-        for local in range(0, 2 * k, 16):
-            b = (2 * col_offset + local) // 16  # global 64-byte block index
-            m = [words[local + w] if local + w < 2 * k else zero
+        nblk = (2 * k + 15) // 16
+        for j in range(nblk):
+            m = [words[16 * j + w] if 16 * j + w < 2 * k else zero
                  for w in range(16)]
-            blen = min(64, total_bytes - 64 * b)
-            flags = (b3.CHUNK_START if b == 0 else 0) | (
-                (b3.CHUNK_END | b3.ROOT) if b == nblocks - 1 else 0
-            )
-            cv = b3.compress(xp, cv, m, blen, flags, shape, counter=0)
+            counter = 0 if counter_arr is None else counter_arr[j]
+            cv = b3.compress(xp, cv, m, blen_arr[j], flags_arr[j], shape,
+                             counter=counter)
         return cv
     # poseidon rate-8 overwrite sponge
     st = [gf.GF(state[2 * i], state[2 * i + 1]) for i in range(pos.WIDTH)]

@@ -60,6 +60,32 @@ def _bitrev_perm_dev(log_n: int):
     return _PERM_CACHE[log_n]
 
 
+def bitrev_lanes(lanes: list, ln: int, max_f: int = 8) -> list:
+    """Bit-reversal-permute each (n,) lane (n = 2^ln) WITHOUT a flat gather.
+
+    A flat jnp.take over 2^23 indices is ~70x slower than a transpose on TPU
+    and bakes a 64 MB index constant into the graph. Instead: factor the ln
+    bits into groups of <= max_f, reverse the group ORDER via a transpose,
+    then bit-reverse within each group with a tiny per-axis take (the same
+    decomposition the Pallas NTT uses). Call under jit."""
+    import jax.numpy as jnp
+
+    m = (ln + max_f - 1) // max_f
+    base = ln // m
+    rem = ln - base * m
+    factors = [base + (1 if i < rem else 0) for i in range(m)]
+    shapes = [1 << f for f in factors]  # group sizes, LOWEST bits first
+    out = []
+    for a in lanes:
+        y = a.reshape(tuple(reversed(shapes)))  # axis 0 = highest bit group
+        y = y.transpose(tuple(range(len(shapes) - 1, -1, -1)))
+        for ax, f in enumerate(factors):
+            pf = jnp.asarray(bit_reversal_perm(1 << f))
+            y = jnp.take(y, pf, axis=ax)
+        out.append(y.reshape(a.shape))
+    return out
+
+
 def _butterfly_stages(x: gf.GF, twiddles) -> gf.GF:
     """Apply all radix-2 DIT stages to a bit-reversed-input array."""
     n = x.shape[-1]
@@ -111,10 +137,21 @@ def intt(x: gf.GF) -> gf.GF:
 
 
 def scale_by_powers(x: gf.GF, base: int) -> gf.GF:
-    """x[..., j] *= base^j (host-known base)."""
+    """x[..., j] *= base^j (host-known base).
+
+    Under a trace, the power table is computed ON DEVICE by log-doubling
+    (gf.powers) rather than as a host numpy table: a host table becomes a
+    size-n CONSTANT baked into every jit graph that traces through here
+    (64 MB at n=2^23), which made XLA compiles minutes-long and
+    persistent-cache entries ~200 MB (round-4 finding). Device computation
+    is O(n) — noise next to the NTT. Eager (non-traced) callers get the
+    host table: log-doubling would dispatch hundreds of micro-ops."""
+    from jax.core import Tracer
+
     n = x.shape[-1]
-    pw = gf.from_u64(g.powers(base, n))
-    return gf.mul(x, pw)
+    if isinstance(x.lo, Tracer):
+        return gf.mul(x, gf.powers(base, n))
+    return gf.mul(x, gf.from_u64(g.powers(base, n)))
 
 
 def coset_fft(coeffs: gf.GF, shift: int = g.MULTIPLICATIVE_GROUP_GENERATOR) -> gf.GF:

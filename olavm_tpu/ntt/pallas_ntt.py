@@ -91,12 +91,13 @@ def _twiddle_tables(ln: int, inverse: bool):
             o = np.arange(nf)
             a_full[:, sig - 1] = pw[o & (half - 1)]
         if base == 0:
-            b_tab = None
+            b_seeds = None
         else:
-            b_tab = np.zeros((f, L), dtype=np.uint64)
-            for sig in range(1, f + 1):
-                b_tab[sig - 1] = g.powers(w(base + sig), L)
-        tables.append((a_full, b_tab))
+            # lane-factor tables are built ON DEVICE from these scalar seeds
+            # (a host (f, L) table with L up to 2^18 would be baked into the
+            # jit graph as a multi-MB constant — round-4 finding)
+            b_seeds = tuple(w(base + sig) for sig in range(1, f + 1))
+        tables.append((a_full, b_seeds))
         base += f
     return tables
 
@@ -196,12 +197,27 @@ def _pass_call(f: int, rest: int, L: int, interpret: bool):
     return call
 
 
-def _lane_table(b_tab, L: int, lt: int) -> np.ndarray:
-    """(f, L) lane factors -> (f, max(L, lt)) table (tiled when L < lt)."""
+def _np_tile_lanes(tab: np.ndarray, L: int, lt: int) -> np.ndarray:
+    """(f, L) host lane factors -> (f, max(L, lt)) (tiled when L < lt)."""
     if L >= lt:
-        return b_tab
-    reps = lt // L
-    return np.tile(b_tab, (1, reps))
+        return tab
+    return np.tile(tab, (1, lt // L))
+
+
+def _lane_table_dev(b_seeds, L: int, lt: int) -> gf.GF:
+    """Device (f, max(L, lt)) lane-factor table: row sig-1 = powers of
+    b_seeds[sig-1] of length L, tiled to lt when L < lt. Computed inside the
+    enclosing trace so no large constant enters the graph."""
+    import jax.numpy as jnp
+
+    rows = [gf.powers(int(s), L) for s in b_seeds]
+    lo = jnp.stack([r.lo for r in rows])
+    hi = jnp.stack([r.hi for r in rows])
+    if L < lt:
+        reps = lt // L
+        lo = jnp.tile(lo, (1, reps))
+        hi = jnp.tile(hi, (1, reps))
+    return gf.GF(lo, hi)
 
 
 def ntt_pallas(x: gf.GF, inverse: bool = False,
@@ -216,6 +232,7 @@ def ntt_pallas(x: gf.GF, inverse: bool = False,
         import jax
 
         interpret = jax.default_backend() != "tpu"
+    from jax.core import Tracer
 
     batch_shape = x.shape[:-1]
     b = 1
@@ -247,12 +264,15 @@ def ntt_pallas(x: gf.GF, inverse: bool = False,
         L = 1 << base
         rest = n // nf
         lt = min(LANE_TILE, rest)
-        a_full, b_tab = tables[i]
+        a_full, b_seeds = tables[i]
         twa = gf.from_u64(a_full)
-        if b_tab is None:
+        if b_seeds is None:
             twb = gf.from_u64(np.ones((max(f, 1), lt), dtype=np.uint64))
-        else:
-            twb = gf.from_u64(_lane_table(b_tab, L, lt))
+        elif isinstance(lo, Tracer):
+            twb = _lane_table_dev(b_seeds, L, lt)
+        else:  # eager caller (tests): host table, no micro-op storm
+            tab = np.stack([g.powers(int(s), L) for s in b_seeds])
+            twb = gf.from_u64(_np_tile_lanes(tab, L, lt))
         # bring the factor axis onto sublanes: (b, hi_cnt, nf, L) ->
         # (b, nf, hi_cnt, L) == (b, nf, rest)
         hi_cnt = n // (nf * L)

@@ -18,15 +18,7 @@ from ..field import gf
 from ..field import goldilocks as g
 from .cross_table_lookup import Column, CtlData, CtlZData
 
-_jit_cache: dict = {}
-
-
-def _jit(key, fn):
-    import jax
-
-    if key not in _jit_cache:
-        _jit_cache[key] = jax.jit(fn)
-    return _jit_cache[key]
+from .oracle_device import _jit  # shared cache + OLAVM_SYNC_EVERY_JIT debug
 
 
 @dataclass(frozen=True)
@@ -34,17 +26,26 @@ class DevChallenge:
     """GrandProductChallenge with device-scalar beta/gamma ((,) GF).
 
     combine_ops mirrors GrandProductChallenge.combine_ops but multiplies by
-    the traced scalar instead of baking a host int into the graph.
+    the traced scalar instead of baking a host int into the graph, and
+    evaluates sum_i t_i beta^i with a log-depth power table + tree sum: the
+    sequential Horner builds a terms-deep chained-mul graph and XLA compile
+    explodes past ~30 chained muls (round-4 finding; the 24-column
+    poseidon-chunk CTL view was the trigger). Exact arithmetic — identical
+    values to the reference Horner (cross_table_lookup.rs combine).
     """
 
     beta: gf.GF
     gamma: gf.GF
 
     def combine_ops(self, F, terms: list):
-        acc = F.constant(0)
-        for t in terms[::-1]:
-            acc = F.add(F.mul(acc, self.beta), t)
-        return F.add(acc, self.gamma)
+        from .consumer import _alpha_powers, _tree_sum
+
+        if not terms:
+            return self.gamma
+        pw = _alpha_powers(F, self.beta, len(terms) - 1)
+        scaled = [t if i == 0 else F.mul(t, pw[i])
+                  for i, t in enumerate(terms)]
+        return F.add(_tree_sum(F, scaled), self.gamma)
 
 
 def _column_eval_gf(col: Column, trace: gf.GF) -> gf.GF:
@@ -70,10 +71,11 @@ def ctl_z_device(trace: gf.GF, columns: list[Column], filter_column,
     else:
         filt = gf.ones((n,))
     evals = [_column_eval_gf(col, trace) for col in columns]
-    acc = gf.zeros((n,))
-    for t in evals[::-1]:
-        acc = gf.add(gf.mul(acc, gf.GF(beta.lo, beta.hi)), t)
-    combined = gf.add(acc, gf.GF(gamma.lo, gamma.hi))
+    # sum_i evals[i] * beta^i + gamma via DevChallenge (log-depth — a
+    # sequential Horner over 24-column views explodes XLA compile time)
+    from .ops import GfOps
+
+    combined = DevChallenge(beta, gamma).combine_ops(GfOps, evals)
     is_one = gf.eq(filt, gf.ones((n,)))
     terms = gf.select(is_one, combined, gf.ones((n,)))
     return gf.prefix_prod(terms)
@@ -114,7 +116,17 @@ def ctl_data_device(config, values_dev: list[gf.GF], cross_table_lookups,
             )
             for t in list(ctl.looking_tables) + [ctl.looked_table]:
                 trace = values_dev[t.table]
-                key = ("ctlz", ctl_idx, t.table, id(t), trace.shape)
+                # key by column STRUCTURE, not view identity: views with the
+                # same (columns, filter) on same-shape traces share one
+                # compiled scan (cuts the z-graph count across 19 CTLs)
+                sig = (
+                    tuple((tuple(c.linear_combination), c.constant)
+                          for c in t.columns),
+                    (tuple(t.filter_column.linear_combination),
+                     t.filter_column.constant)
+                    if t.filter_column is not None else None,
+                )
+                key = ("ctlz", sig, trace.shape)
                 fn = _jit(key, make_fn(t.columns, t.filter_column, trace.shape))
                 z_lo, z_hi = fn(trace.lo, trace.hi, bg.lo, bg.hi)
                 z = gf.GF(z_lo, z_hi)

@@ -14,6 +14,23 @@ Memory architecture (round 3 — the round-2 version kept every oracle's full
     the ~28 queried coset points (exact field arithmetic == the LDE values),
     instead of gathering from a resident LDE.
 
+Compile architecture (round 4 — the round-3 version compiled hundreds of
+distinct XLA programs, many with multi-MB power-table constants baked in;
+cold-start was 1-2 h and even warm cache loads took minutes):
+
+  * UNIFORM COLUMN BLOCKS: every per-column-block program (iNTT, commit
+    absorb, point evaluation) runs on exactly _BLOCK_COLS columns, with the
+    leading block zero-padded / the hash tail handled by one small graph per
+    tail size.  All 12 tables of a given degree share the same programs.
+  * POSITION AS DATA: blake3 block flags / byte lengths are traced scalars
+    (merkle/device.absorb_block_meta), so a block program does not embed its
+    column offset.
+  * NO LARGE CONSTANTS: twiddles / power tables / bit-reversal permutations
+    are computed on device inside the trace (ntt.scale_by_powers,
+    ntt.bitrev_lanes); graphs are KBs, not 200 MB.
+  * ONE TREE PROGRAM: all Merkle levels of a commit reduce inside a single
+    jit per (size, cap_height, hasher) instead of one per level.
+
 Only caps, query leaf values, and Merkle paths ever cross device->host (the
 tunnel's D2H path is ~1000x slower than H2D; see VERDICT round 1).
 """
@@ -29,21 +46,46 @@ from ..merkle import device as dmerkle
 from ..ntt import ntt as dntt
 from ..utils.bits import bit_reversal_perm, log2_strict
 
-# column-block chunking: keep each NTT working set under ~2^27 elements
-# (1 GB as a u32 pair) so XLA's buffer planning never sees multi-GB tensors
+# uniform column-block width: multiple of 8 (one blake3 64-byte block / one
+# poseidon rate per 8 columns); 16 keeps the streamed LDE working set at
+# 16 * 2^23 * 8 B = 1 GB for the largest tables
+_BLOCK_COLS = 16
+# legacy chunking bound for paths not yet on uniform blocks
 _CHUNK_ELEMS = 1 << 27
-# device tree levels stop here; the tail is hashed on host (fewer jits, and
-# the host needs the cap anyway)
-_HOST_TAIL = 1 << 12
 
 _jit_cache: dict = {}
 
 
 def _jit(key, fn):
+    import os
+
     import jax
 
     if key not in _jit_cache:
-        _jit_cache[key] = jax.jit(fn)
+        jf = jax.jit(fn)
+        if os.environ.get("OLAVM_SYNC_EVERY_JIT"):
+            # debug mode: block after every dispatch so a hanging/slow graph
+            # is identified by the Python call site (faulthandler stack)
+            import sys
+            import time
+
+            def synced(*a, _jf=jf, _key=key, **kw):
+                if os.environ.get("OLAVM_SYNC_EVERY_JIT") == "2":
+                    print(f"# dispatch {_key}", file=sys.stderr, flush=True)
+                t0 = time.time()
+                out = _jf(*a, **kw)
+                leaves = jax.tree_util.tree_leaves(out)
+                if leaves:
+                    np.asarray(leaves[0]).reshape(-1)[:1]
+                dt = time.time() - t0
+                if dt > 1.0:
+                    print(f"# jit {_key}: {dt:.1f}s", file=sys.stderr,
+                          flush=True)
+                return out
+
+            _jit_cache[key] = synced
+        else:
+            _jit_cache[key] = jf
     return _jit_cache[key]
 
 
@@ -52,63 +94,63 @@ def _col_chunks(num_cols: int, n: int):
     return [(s, min(num_cols, s + block)) for s in range(0, num_cols, block)]
 
 
-def _col_chunks_aligned(num_cols: int, n: int, align: int = 8):
-    """Column blocks sized by _CHUNK_ELEMS, starting on `align` boundaries
-    (hash-absorption block boundaries)."""
-    block = max(align, (_CHUNK_ELEMS // max(n, 1)) // align * align)
-    return [(s, min(num_cols, s + block)) for s in range(0, num_cols, block)]
+def _pad_cols(x: gf.GF, mult: int) -> gf.GF:
+    """Zero-pad the column axis (axis 0) up to a multiple of `mult`."""
+    import jax.numpy as jnp
+
+    C = x.shape[0]
+    pad = (-C) % mult
+    if pad == 0:
+        return x
+    return gf.GF(jnp.pad(x.lo, ((0, pad), (0, 0))),
+                 jnp.pad(x.hi, ((0, pad), (0, 0))))
 
 
-def intt_chunked(values: gf.GF) -> gf.GF:
-    """(C, N) values -> coefficients, column-block chunked."""
+def _blocked_transform(values: gf.GF, key_tag: str, transform) -> gf.GF:
+    """Apply `transform` ((W, n) GF -> (W, m) GF) over uniform
+    _BLOCK_COLS-column blocks (tail zero-padded), concatenate, slice to C.
+    Exactly ONE compiled program per (key_tag, n)."""
     import jax.numpy as jnp
 
     C, n = values.shape
-    fn = _jit(("intt", n), lambda lo, hi: tuple(dntt.intt(gf.GF(lo, hi))))
-    outs = [fn(values.lo[s:e], values.hi[s:e]) for s, e in _col_chunks(C, n)]
+    W = _BLOCK_COLS
+    vp = _pad_cols(values, W)
+    fn = _jit((key_tag, n),
+              lambda lo, hi: tuple(transform(gf.GF(lo, hi))))
+    outs = [fn(vp.lo[s:s + W], vp.hi[s:s + W])
+            for s in range(0, vp.shape[0], W)]
     if len(outs) == 1:
-        return gf.GF(*outs[0])
-    return gf.GF(jnp.concatenate([o[0] for o in outs]),
-                 jnp.concatenate([o[1] for o in outs]))
+        res = gf.GF(*outs[0])
+    else:
+        res = gf.GF(jnp.concatenate([o[0] for o in outs]),
+                    jnp.concatenate([o[1] for o in outs]))
+    return res[:C] if res.shape[0] != C else res
 
 
-def coset_lde_chunked(coeffs: gf.GF, rate_bits: int) -> gf.GF:
-    """(C, N) coeffs -> (C, N<<rate) coset-LDE values, chunked.
-
-    NOTE: materializes the full output — only call for SMALL rates/sizes
-    (e.g. the quotient coset); the commit path streams instead.
-    """
-    import jax.numpy as jnp
-
-    C, n = coeffs.shape
-    big = n << rate_bits
-    fn = _jit(
-        ("lde", n, rate_bits),
-        lambda lo, hi: tuple(dntt.coset_lde(gf.GF(lo, hi), rate_bits)),
-    )
-    outs = [fn(coeffs.lo[s:e], coeffs.hi[s:e]) for s, e in _col_chunks(C, big)]
-    if len(outs) == 1:
-        return gf.GF(*outs[0])
-    return gf.GF(jnp.concatenate([o[0] for o in outs]),
-                 jnp.concatenate([o[1] for o in outs]))
+def intt_chunked(values: gf.GF) -> gf.GF:
+    """(C, N) values -> coefficients, uniform column blocks."""
+    return _blocked_transform(values, "intt", dntt.intt)
 
 
 def ntt_chunked(coeffs: gf.GF) -> gf.GF:
-    import jax.numpy as jnp
+    return _blocked_transform(coeffs, "ntt", dntt.ntt)
 
-    C, n = coeffs.shape
-    fn = _jit(("ntt", n), lambda lo, hi: tuple(dntt.ntt(gf.GF(lo, hi))))
-    outs = [fn(coeffs.lo[s:e], coeffs.hi[s:e]) for s, e in _col_chunks(C, n)]
-    if len(outs) == 1:
-        return gf.GF(*outs[0])
-    return gf.GF(jnp.concatenate([o[0] for o in outs]),
-                 jnp.concatenate([o[1] for o in outs]))
+
+def coset_lde_chunked(coeffs: gf.GF, rate_bits: int) -> gf.GF:
+    """(C, N) coeffs -> (C, N<<rate) coset-LDE values, uniform blocks.
+
+    NOTE: materializes the full output — only call for SMALL rates/sizes
+    (e.g. wide-leaf tables); the commit path streams instead.
+    """
+    return _blocked_transform(
+        coeffs, f"lde{rate_bits}",
+        lambda x: dntt.coset_lde(x, rate_bits))
 
 
 def _streamed_leaf_digests(coeffs: gf.GF, rate_bits: int,
                            hasher_kind: str) -> list:
     """Leaf digest lanes for the commit tree WITHOUT materializing the full
-    LDE: per aligned column block, a fused jit computes the block's coset-LDE
+    LDE: per uniform column block, a fused jit computes the block's coset-LDE
     and absorbs it into the running per-leaf hash states."""
     import jax.numpy as jnp
 
@@ -125,38 +167,117 @@ def _streamed_leaf_digests(coeffs: gf.GF, rate_bits: int,
             lanes.append(lde.hi[i] if i < C else zero)
         return lanes
 
-    state = dmerkle.leaf_stream_init(jnp, (size,), hasher_kind)
-    for s, e in _col_chunks_aligned(C, size):
-        def blk(lo, hi, *st, _s=s, _e=e):
-            lde = dntt.coset_lde(gf.GF(lo, hi), rate_bits)
-            words = []
-            for c in range(_e - _s):
-                words.append(lde.lo[c])
-                words.append(lde.hi[c])
-            return tuple(dmerkle.leaf_stream_absorb(
-                jnp, list(st), words, _s, C, hasher_kind))
+    W = _BLOCK_COLS
+    if hasher_kind == "blake3":
+        flags_np, blen_np, counter_np = dmerkle.absorb_block_meta(C)
+        nchunks = max(1, (8 * C + 1023) // 1024)
+        assert nchunks <= 2, "leaves over 2048 bytes not supported"
+    else:  # poseidon ignores position metadata
+        nblocks = (C + 7) // 8
+        flags_np = np.zeros(nblocks, dtype=np.uint32)
+        blen_np = np.zeros(nblocks, dtype=np.uint32)
+        counter_np = np.zeros(nblocks, dtype=np.uint32)
+        nchunks = 1
 
-        fn = _jit(("commitblk", n, rate_bits, s, e, C, hasher_kind), blk)
-        state = list(fn(coeffs.lo[s:e], coeffs.hi[s:e], *state))
+    state = dmerkle.leaf_stream_init(jnp, (size,), hasher_kind)
+    chunk_cvs = []  # completed blake3 chunk CVs (multi-chunk leaves)
+    nfull = C // W
+    blocks_per_w = W // 8
+
+    def blk(lo, hi, fl, bl, cn, *st):
+        lde = dntt.coset_lde(gf.GF(lo, hi), rate_bits)
+        words = []
+        for c in range(lo.shape[0]):
+            words.append(lde.lo[c])
+            words.append(lde.hi[c])
+        return tuple(dmerkle.leaf_stream_absorb(
+            jnp, list(st), words, fl, bl, hasher_kind, counter_arr=cn))
+
+    def maybe_chunk_reset(col_start):
+        # blake3 chunks are 1024 B = 128 cols; a new chunk starts with a
+        # fresh IV state (the completed CV joins the chunk tree)
+        nonlocal state
+        if (hasher_kind == "blake3" and col_start > 0
+                and col_start % 128 == 0):
+            chunk_cvs.append(state)
+            state = dmerkle.leaf_stream_init(jnp, (size,), hasher_kind)
+
+    for bi in range(nfull):
+        s = bi * W
+        maybe_chunk_reset(s)
+        fn = _jit(("commitblk", n, rate_bits, W, hasher_kind), blk)
+        fl = flags_np[blocks_per_w * bi: blocks_per_w * (bi + 1)]
+        bl = blen_np[blocks_per_w * bi: blocks_per_w * (bi + 1)]
+        cn = counter_np[blocks_per_w * bi: blocks_per_w * (bi + 1)]
+        state = list(fn(coeffs.lo[s:s + W], coeffs.hi[s:s + W], fl, bl, cn,
+                        *state))
+    k = C - nfull * W
+    if k:
+        s = nfull * W
+        maybe_chunk_reset(s)
+        fn = _jit(("committail", n, rate_bits, k, hasher_kind), blk)
+        state = list(fn(coeffs.lo[s:], coeffs.hi[s:],
+                        flags_np[blocks_per_w * nfull:],
+                        blen_np[blocks_per_w * nfull:],
+                        counter_np[blocks_per_w * nfull:], *state))
+    if chunk_cvs:
+        # blake3 chunk tree for 2 chunks: parent = compress(IV, cv0||cv1,
+        # 64, PARENT|ROOT) — matches hash_words / gl_blake3.cpp:124-141
+        chunk_cvs.append(state)
+        from ..hash import blake3 as b3
+
+        def parent(*lanes):
+            left = list(lanes[:8])
+            right = list(lanes[8:])
+            return tuple(b3.compress(
+                jnp, [jnp.full((size,), b3.IV[i], np.uint32)
+                      for i in range(8)],
+                left + right, 64, b3.PARENT | b3.ROOT, (size,)))
+
+        fn = _jit(("chunkparent", size), parent)
+        return list(fn(*(chunk_cvs[0] + chunk_cvs[1])))
     return dmerkle.leaf_stream_finalize(state, hasher_kind)
 
 
 def build_tree_device(leaf_digs: list, size: int, cap_height: int,
                       hasher_kind: str, defer_cap_pull: bool = False):
-    """Per-level reduction entirely on device (the host tail of round 2 paid
-    a ~130 KB D2H pull per tree; the tunnel's D2H latency makes every pull
-    ~30-50 ms, so only the 2^cap_height * 32 B cap ever crosses). Returns
-    (levels_dev: list of 8-lane tuples, levels_host: [] (kept for API
-    compat), cap: (2^cap_height, 4) u64 host — or the device lane list if
-    defer_cap_pull)."""
-    levels_dev = [list(leaf_digs)]
-    m = size
-    while m > (1 << cap_height):
-        fn = _jit(("compress", m, hasher_kind),
-                  lambda *digs: tuple(dmerkle.compress_level(list(digs),
-                                                             hasher_kind)))
-        levels_dev.append(list(fn(*levels_dev[-1])))
-        m >>= 1
+    """All Merkle levels in ONE jitted program per (size, cap_height,
+    hasher). Only the 2^cap_height * 32 B cap ever crosses D2H (the tunnel's
+    D2H latency makes every pull ~30-50 ms). Returns (levels_dev: list of
+    8-lane tuples, levels_host: [] (API compat), cap: (2^cap_height, 4) u64
+    host — or the device lane list if defer_cap_pull)."""
+
+    # blake3 compress is ~300 u32 ops -> folding all ~19 levels into one
+    # graph compiles in seconds; a poseidon permute is ~5k GF muls and ONE
+    # traced permute already takes minutes on XLA:CPU, so chaining levels
+    # multiplies that — keep poseidon per-level.
+    fold = hasher_kind == "blake3"
+
+    def all_levels(*digs):
+        cur = list(digs)
+        levels = []
+        m = size
+        while m > (1 << cap_height):
+            cur = dmerkle.compress_level(cur, hasher_kind)
+            levels.append(tuple(cur))
+            m >>= 1
+        return tuple(levels)
+
+    if fold:
+        fn = _jit(("tree", size, cap_height, hasher_kind), all_levels)
+        rest = [list(t) for t in fn(*leaf_digs)]
+    else:
+        rest = []
+        cur = list(leaf_digs)
+        m = size
+        while m > (1 << cap_height):
+            fn = _jit(("compress", m, hasher_kind),
+                      lambda *digs: tuple(dmerkle.compress_level(
+                          list(digs), hasher_kind)))
+            cur = list(fn(*cur))
+            rest.append(cur)
+            m >>= 1
+    levels_dev = [list(leaf_digs)] + rest
     cap_lanes = levels_dev.pop()  # cap level is not part of query paths
     if defer_cap_pull:
         return levels_dev, [], cap_lanes
@@ -246,10 +367,12 @@ def eval_at_points_dev(coeffs: gf.GF, points: list[int]):
             outs_hi.append(r.hi)
         return jnp.stack(outs_lo), jnp.stack(outs_hi)
 
+    W = _BLOCK_COLS
+    cp = _pad_cols(coeffs, W)
     chunks = []
-    for s, e in _col_chunks(C, n):
-        fn = _jit(("qeval", k, e - s, n), ev)
-        chunks.append(fn(coeffs.lo[s:e], coeffs.hi[s:e], pw_lo, pw_hi))
+    for s in range(0, cp.shape[0], W):
+        fn = _jit(("qeval", k, W, n), ev)
+        chunks.append(fn(cp.lo[s:s + W], cp.hi[s:s + W], pw_lo, pw_hi))
     if len(chunks) == 1:
         lo, hi = chunks[0]
     else:
@@ -257,8 +380,8 @@ def eval_at_points_dev(coeffs: gf.GF, points: list[int]):
                    lambda ls, hs: (jnp.concatenate(ls, axis=1),
                                    jnp.concatenate(hs, axis=1)))
         lo, hi = cat([c[0] for c in chunks], [c[1] for c in chunks])
-    return _jit(("qevalstack", lo.shape),
-                lambda a, b: jnp.stack([a, b], axis=-1))(lo, hi)
+    return _jit(("qevalstack", lo.shape, C),
+                lambda a, b: jnp.stack([a[:, :C], b[:, :C]], axis=-1))(lo, hi)
 
 
 def eval_at_points(coeffs: gf.GF, points: list[int]) -> np.ndarray:
@@ -302,17 +425,16 @@ class DevicePolynomialBatch:
     def from_coeffs(coeffs: gf.GF, rate_bits: int, cap_height: int,
                     hasher_kind: str,
                     defer_cap_pull: bool = False) -> "DevicePolynomialBatch":
-        import jax.numpy as jnp
-
         C, n = coeffs.shape
         degree_log = log2_strict(n)
         size = n << rate_bits
         digs = _streamed_leaf_digests(coeffs, rate_bits, hasher_kind)
         # bit-reverse the digest lanes -> leaf order of the reference tree
-        perm = jnp.asarray(bit_reversal_perm(size))
+        # (decomposed transpose form: no flat gather, no index constant)
         brev = _jit(("brevlanes", size, len(digs)),
-                    lambda p, *ds: tuple(d[p] for d in ds))
-        digs = list(brev(perm, *digs))
+                    lambda *ds: tuple(
+                        dntt.bitrev_lanes(list(ds), log2_strict(size))))
+        digs = list(brev(*digs))
         levels_dev, levels_host, cap = build_tree_device(
             digs, size, cap_height, hasher_kind,
             defer_cap_pull=defer_cap_pull,
@@ -365,16 +487,18 @@ class DevicePolynomialBatch:
             im = gf.sum_reduce(gf.mul(c, gf.GF(zi_lo, zi_hi)[None, :]), -1)
             return re.lo, re.hi, im.lo, im.hi
 
-        fn = _jit(("evalext", n), ev)
+        W = _BLOCK_COLS
+        cp = _pad_cols(self.coeffs, W)
+        fn = _jit(("evalext", W, n), ev)
         outs = []
-        for s, e in _col_chunks(C, n):
-            outs.append(fn(self.coeffs.lo[s:e], self.coeffs.hi[s:e],
+        for s in range(0, cp.shape[0], W):
+            outs.append(fn(cp.lo[s:s + W], cp.hi[s:s + W],
                            zeta_pows.re.lo, zeta_pows.re.hi,
                            zeta_pows.im.lo, zeta_pows.im.hi))
-        re_lo = np.concatenate([np.asarray(o[0]) for o in outs])
-        re_hi = np.concatenate([np.asarray(o[1]) for o in outs])
-        im_lo = np.concatenate([np.asarray(o[2]) for o in outs])
-        im_hi = np.concatenate([np.asarray(o[3]) for o in outs])
+        re_lo = np.concatenate([np.asarray(o[0]) for o in outs])[:C]
+        re_hi = np.concatenate([np.asarray(o[1]) for o in outs])[:C]
+        im_lo = np.concatenate([np.asarray(o[2]) for o in outs])[:C]
+        im_hi = np.concatenate([np.asarray(o[3]) for o in outs])[:C]
         re = re_lo.astype(np.uint64) | (re_hi.astype(np.uint64) << np.uint64(32))
         im = im_lo.astype(np.uint64) | (im_hi.astype(np.uint64) << np.uint64(32))
         return np.stack([re, im], axis=-1)

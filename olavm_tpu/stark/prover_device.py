@@ -324,9 +324,13 @@ def fri_pow_device(current_hash: list[int], fri_config) -> int:
 
     from ..hash import poseidon as pos
 
+    import jax as _jax
+
     pow_bits = fri_config.proof_of_work_bits
     assert pow_bits <= 32
-    B = 1 << 18
+    # batch size doesn't change the (lowest-nonce) witness — batches scan
+    # nonces in order; smaller batches keep CPU-backend tests fast
+    B = 1 << 18 if _jax.default_backend() == "tpu" else 1 << 14
     hi_bound = np.uint32(1 << (32 - pow_bits)) if pow_bits else None
 
     def grind(h_lo, h_hi, start_lo):
@@ -360,30 +364,60 @@ class _DeviceExtTree:
 
     def __init__(self, values: gfe.GFE, arity: int, cap_height: int,
                  hasher_kind: str):
-        import jax.numpy as jnp
-
         from ..merkle import device as dmerkle
+        from ..ntt import ntt as dntt
 
         n = values.shape[0]
-        perm = jnp.asarray(bit_reversal_perm(n))
-        pv = values[perm]
-        self.values = pv  # bit-reversed, flat (n,) ext
+        ln = log2_strict(n)
         self.arity = arity
         n_leaves = n // arity
 
-        def leafhash(r_lo, r_hi, i_lo, i_hi):
-            # leaf words: [re0.lo, re0.hi, im0.lo, im0.hi, re1.lo, ...]
-            words = []
-            rl = r_lo.reshape(n_leaves, arity)
-            rh = r_hi.reshape(n_leaves, arity)
-            il = i_lo.reshape(n_leaves, arity)
-            ih = i_hi.reshape(n_leaves, arity)
-            for j in range(arity):
-                words.extend([rl[:, j], rh[:, j], il[:, j], ih[:, j]])
-            return tuple(dmerkle.word_digests(words, hasher_kind))
+        def brev4(r_lo, r_hi, i_lo, i_hi):
+            # decomposed bit-reversal (no flat gather / index constant)
+            return tuple(dntt.bitrev_lanes([r_lo, r_hi, i_lo, i_hi], ln))
 
-        fn = _jit(("friletree", n, arity, hasher_kind), leafhash)
-        digs = list(fn(pv.re.lo, pv.re.hi, pv.im.lo, pv.im.hi))
+        bfn = _jit(("fribrev", n), brev4)
+        pl = bfn(values.re.lo, values.re.hi, values.im.lo, values.im.hi)
+        pv = gfe.GFE(gf.GF(pl[0], pl[1]), gf.GF(pl[2], pl[3]))
+        self.values = pv  # bit-reversed, flat (n,) ext
+
+        # STREAMED leaf hashing, <=2 compress blocks per graph: one graph
+        # chaining all arity*4 words hits XLA:CPU's pathological execution
+        # path past ~2 chained compressions (round-4 finding), and short
+        # graphs reuse the same compiled programs across FRI rounds.
+        total_cols = 2 * arity  # u64 words per leaf (re, im per ext value)
+        flags_np, blen_np, counter_np = dmerkle.absorb_block_meta(total_cols)
+        import jax.numpy as jnp
+
+        state = dmerkle.leaf_stream_init(jnp, (n_leaves,), hasher_kind)
+        W = 16  # u64 cols per absorb step = 2 blake3 blocks
+        bpw = W // 8
+
+        def absorb(r_lo, r_hi, i_lo, i_hi, fl, bl, cn, *st, _s=0, _e=0):
+            rl = r_lo.reshape(n_leaves, arity).T
+            rh = r_hi.reshape(n_leaves, arity).T
+            il = i_lo.reshape(n_leaves, arity).T
+            ih = i_hi.reshape(n_leaves, arity).T
+            words = []
+            for col in range(_s, _e):
+                j = col // 2
+                if col % 2 == 0:
+                    words.extend([rl[j], rh[j]])
+                else:
+                    words.extend([il[j], ih[j]])
+            return tuple(dmerkle.leaf_stream_absorb(
+                jnp, list(st), words, fl, bl, hasher_kind, counter_arr=cn))
+
+        for s in range(0, total_cols, W):
+            e = min(total_cols, s + W)
+            fn = _jit(("friabsorb", n, arity, s, e, hasher_kind),
+                      lambda *a, _s=s, _e=e: absorb(*a, _s=_s, _e=_e))
+            b0 = s // 8
+            b1 = (2 * (e - s) + 15) // 16 + b0
+            state = list(fn(pv.re.lo, pv.re.hi, pv.im.lo, pv.im.hi,
+                            flags_np[b0:b1], blen_np[b0:b1],
+                            counter_np[b0:b1], *state))
+        digs = dmerkle.leaf_stream_finalize(state, hasher_kind)
         self.levels_dev, self.levels_host, self.cap = build_tree_device(
             digs, n_leaves, cap_height, hasher_kind
         )
@@ -468,13 +502,37 @@ def prove_openings_device(instance, openings_batches, oracles, challenger,
             for s, e in reversed(blocks):
                 def horner_lde(a_rlo, a_rhi, a_ilo, a_ihi, lo, hi,
                                al_rlo, al_rhi, al_ilo, al_ihi):
+                    # a <- a*alpha^k + sum_j x_j alpha^{k-1-j}, built with a
+                    # log-depth power table + tree sum (a k-deep sequential
+                    # Horner explodes XLA compile time — round-4 finding);
+                    # exact arithmetic, same value as the reference's Horner
                     from ..ntt import ntt as _dntt
 
                     a = gfe.GFE(gf.GF(a_rlo, a_rhi), gf.GF(a_ilo, a_ihi))
                     al = gfe.GFE(gf.GF(al_rlo, al_rhi), gf.GF(al_ilo, al_ihi))
                     x = _dntt.coset_lde(gf.GF(lo, hi), rate_bits_l)
-                    for j in range(x.shape[0] - 1, -1, -1):
-                        a = gfe.scale_add(a, al, x[j])
+                    k = x.shape[0]
+                    pw = gfe.powers(al, k + 1)
+
+                    def bc(ei):
+                        return gfe.GFE(
+                            gf.GF(jnp.broadcast_to(ei.re.lo, (n,)),
+                                  jnp.broadcast_to(ei.re.hi, (n,))),
+                            gf.GF(jnp.broadcast_to(ei.im.lo, (n,)),
+                                  jnp.broadcast_to(ei.im.hi, (n,))),
+                        )
+
+                    # descending-index Horner => x_j's coefficient is
+                    # alpha^j (lower row index = fewer alpha multiplies)
+                    terms = [gfe.mul_base(bc(pw[j]), x[j])
+                             for j in range(k)]
+                    while len(terms) > 1:
+                        nxt = [gfe.add(terms[t], terms[t + 1])
+                               for t in range(0, len(terms) - 1, 2)]
+                        if len(terms) % 2:
+                            nxt.append(terms[-1])
+                        terms = nxt
+                    a = gfe.add(gfe.mul(a, bc(pw[k])), terms[0])
                     return a.re.lo, a.re.hi, a.im.lo, a.im.hi
 
                 fn = _jit(("horner_lde", (e - s, deg_n), rate_bits_l),
@@ -596,13 +654,16 @@ def fri_proof_device(initial_oracles, coeffs: gfe.GFE, values: gfe.GFE,
         m = coeffs.shape[0]
 
         def fold_fn(c_rlo, c_rhi, c_ilo, c_ihi, b_rlo, b_rhi, b_ilo, b_ihi):
+            # sum_i coeff_i * beta^i via log-depth powers + tree sum (NOT a
+            # sequential Horner: >30 chained muls explodes XLA compile time,
+            # round-4 finding); exact arithmetic, same result
             c = gfe.GFE(gf.GF(c_rlo, c_rhi), gf.GF(c_ilo, c_ihi))
             b = gfe.GFE(gf.GF(b_rlo, b_rhi), gf.GF(b_ilo, b_ihi))
             rl = c.re.lo.reshape(-1, arity)
             rh = c.re.hi.reshape(-1, arity)
             il = c.im.lo.reshape(-1, arity)
             ih = c.im.hi.reshape(-1, arity)
-            acc = gfe.zeros((m // arity,))
+            bp = gfe.powers(b, arity)  # (arity,) beta^0..beta^{arity-1}
 
             def bc(e):
                 return gfe.GFE(
@@ -612,11 +673,18 @@ def fri_proof_device(initial_oracles, coeffs: gfe.GFE, values: gfe.GFE,
                           jnp.broadcast_to(e.im.hi, (m // arity,))),
                 )
 
-            bb = bc(b)
-            for i in range(arity - 1, -1, -1):
+            terms = []
+            for i in range(arity):
                 term = gfe.GFE(gf.GF(rl[:, i], rh[:, i]),
                                gf.GF(il[:, i], ih[:, i]))
-                acc = gfe.add(gfe.mul(acc, bb), term)
+                terms.append(gfe.mul(term, bc(bp[i])))
+            while len(terms) > 1:
+                nxt = [gfe.add(terms[j], terms[j + 1])
+                       for j in range(0, len(terms) - 1, 2)]
+                if len(terms) % 2:
+                    nxt.append(terms[-1])
+                terms = nxt
+            acc = terms[0]
             return acc.re.lo, acc.re.hi, acc.im.lo, acc.im.hi
 
         fn = _jit(("frifold", m, arity), fold_fn)

@@ -127,8 +127,119 @@ class AccountTree:
         return self.nodes.get((level, index), self.defaults[level])
 
     def process_block(self, storage_logs) -> list[HashTrace]:
-        """Apply logs sequentially; returns ROOT_TREE_DEPTH HashTraces per
-        log (depth order 0..255, leaf compress first)."""
+        """Apply a block of logs; returns ROOT_TREE_DEPTH HashTraces per log
+        (per-log depth order 0..255, leaf compress first), bit-identical to
+        sequential application.
+
+        LEVEL-SYNCHRONOUS BATCHING (the analogue of the reference's
+        rayon-parallel per-level node hashing, core/src/merkle_tree/
+        patch.rs:159,187): all logs' (post, pre) compresses of one depth go
+        through ONE native Poseidon-trace call. Sequential semantics are
+        preserved exactly because at depth d the sibling a log sees is
+        either an untouched stored node or the depth-d chain value of the
+        LAST earlier log sharing that node — both known before hashing the
+        level."""
+        logs = list(storage_logs)
+        if len(logs) > 1:
+            return self._process_block_level_sync(logs)
+        return self._process_block_sequential(logs)
+
+    def _process_block_level_sync(self, logs) -> list[HashTrace]:
+        from ..runtime.process import poseidon_rows_batch
+
+        L = len(logs)
+        idxs = []
+        curs = []  # post chain values per log, current depth
+        pres = []  # pre chain values per log
+        last_leaf: dict[int, tuple] = {}
+        for log in logs:
+            idx = tree_key_to_int(log["key"])
+            pre_value = last_leaf.get(idx)
+            if pre_value is None:
+                pre_value = self.nodes.get((0, idx), (0, 0, 0, 0))
+            if log["kind"] == "read":
+                new_value = pre_value
+            else:
+                new_value = tuple(int(v) for v in log["value"])
+            last_leaf[idx] = new_value
+            idxs.append(idx)
+            curs.append(new_value)
+            pres.append(pre_value)
+        # ALL node writes are deferred to the end of the block: self.nodes
+        # must keep the PRE-block state throughout, because a log's stored-
+        # node fallback must not see updates from LATER logs in this block
+        # (in-block earlier-log updates are resolved via level_last instead).
+        writes: dict[tuple[int, int], tuple] = {
+            (0, idx): v for idx, v in last_leaf.items()}
+
+        traces_per_log: list[list[HashTrace]] = [[] for _ in range(L)]
+        for depth in range(ROOT_TREE_DEPTH):
+            # resolve siblings: last earlier log on the sibling node wins
+            sibs = []
+            level_last: dict[int, tuple] = {}
+            for j in range(L):
+                node_index = idxs[j] >> depth
+                s = node_index ^ 1
+                sib = level_last.get(s)
+                if sib is None:
+                    sib = self._node(depth, s)
+                sibs.append(sib)
+                level_last[node_index] = curs[j]
+            # build the level's hash batch: (post, pre) per changed log,
+            # one shared state per unchanged (read) log
+            states = np.zeros((2 * L, 12), dtype=np.uint64)
+            slots = []  # (post_row_idx, pre_row_idx or None)
+            n = 0
+            for j in range(L):
+                odd = (idxs[j] >> depth) & 1
+                if odd:
+                    states[n, 0:4], states[n, 4:8] = sibs[j], curs[j]
+                else:
+                    states[n, 0:4], states[n, 4:8] = curs[j], sibs[j]
+                if curs[j] == pres[j]:
+                    slots.append((n, None))
+                    n += 1
+                else:
+                    if odd:
+                        states[n + 1, 0:4] = sibs[j]
+                        states[n + 1, 4:8] = pres[j]
+                    else:
+                        states[n + 1, 0:4] = pres[j]
+                        states[n + 1, 4:8] = sibs[j]
+                    slots.append((n, n + 1))
+                    n += 2
+            if depth == 0:
+                states[:n, 8] = 1
+                outs, rows = poseidon_rows_batch(
+                    states[:n], filter_looked_storage=True)
+            else:
+                outs, rows = poseidon_rows_batch(
+                    states[:n], filter_looked_storage_branch=True)
+            new_curs, new_pres = [], []
+            for j, (pi, qi) in enumerate(slots):
+                parent = tuple(outs[pi, :4].tolist())
+                if qi is None:
+                    pre_parent, pre_row = parent, rows[pi]
+                else:
+                    pre_parent = tuple(outs[qi, :4].tolist())
+                    pre_row = rows[qi]
+                traces_per_log[j].append(
+                    HashTrace(rows[pi], tuple(curs[j]), tuple(sibs[j]),
+                              pre_parent, tuple(pres[j]), pre_row)
+                )
+                new_curs.append(parent)
+                new_pres.append(pre_parent)
+            curs, pres = new_curs, new_pres
+            for j in range(L):
+                writes[(depth + 1, idxs[j] >> (depth + 1))] = curs[j]
+        self.nodes.update(writes)
+        self._root = curs[-1]
+        traces: list[HashTrace] = []
+        for tl in traces_per_log:
+            traces.extend(tl)
+        return traces
+
+    def _process_block_sequential(self, storage_logs) -> list[HashTrace]:
         traces: list[HashTrace] = []
         for log in storage_logs:
             key = log["key"]

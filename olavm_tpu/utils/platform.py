@@ -35,15 +35,36 @@ def on_tpu() -> bool:
         return False
 
 
-def enable_compile_cache():
-    """Persistent XLA compile cache, keyed per machine (AOT artifacts are not
-    portable across hosts)."""
+def cache_tag() -> str:
+    """Per-machine cache tag that actually changes when the VM migrates:
+    hostname alone is 'vm' on every axon host, so include the CPU feature
+    flags — round 4 found a cache full of another host's AOT artifacts
+    (cpu_aot_loader machine-feature mismatch) causing hangs and SIGILL-risk
+    executions."""
     import hashlib
     import platform as _platform
 
-    tag = hashlib.md5(
-        f"{_platform.node()}-{_platform.machine()}-{jax.__version__}".encode()
+    cpu = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    cpu = line.strip()
+                    break
+                if line.startswith("model name") and not cpu:
+                    cpu = line.strip()
+    except OSError:
+        pass
+    return hashlib.md5(
+        f"{_platform.node()}-{_platform.machine()}-{jax.__version__}-{cpu}"
+        .encode()
     ).hexdigest()[:10]
+
+
+def enable_compile_cache():
+    """Persistent XLA compile cache, keyed per machine (AOT artifacts are not
+    portable across hosts)."""
+    tag = cache_tag()
     try:
         jax.config.update(
             "jax_compilation_cache_dir", f"/root/.cache/olavm_tpu_jax-{tag}"

@@ -10,6 +10,8 @@ from olavm_tpu.assembler.encoder import encode_asm_bundle, encode_asm_from_json_
 from olavm_tpu.isa.instruction import decode_to_asm, instruction_length
 from olavm_tpu.isa.opcodes import Opcode
 
+pytestmark = pytest.mark.smoke  # host-only: no jit, fast cold
+
 ASM_DIR = "/root/reference/assembler/test_data/asm"
 
 # These three use a legacy 2-operand `assert` form the reference assembler

@@ -7,6 +7,8 @@ import pytest
 
 from olavm_tpu.runtime.harness import run_program_full
 
+pytestmark = pytest.mark.smoke  # host-only: no jit, fast cold
+
 ASM_DIR = "/root/reference/assembler/test_data/asm"
 
 

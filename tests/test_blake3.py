@@ -5,6 +5,9 @@ import numpy as np
 from olavm_tpu.hash.hashers import BLAKE3, POSEIDON
 from olavm_tpu.merkle.tree import MerkleTree
 from olavm_tpu.native import blake3_native as b3
+import pytest
+
+pytestmark = pytest.mark.smoke  # host-only: no jit, fast cold
 
 
 def test_blake3_known_vector():

@@ -14,6 +14,8 @@ from olavm_tpu.assembler.encoder import encode_asm_from_json_file
 from olavm_tpu.runtime.load_tx import init_tape, mock_tx_ctx
 from olavm_tpu.runtime.process import ExeEnd, Process, Program
 
+pytestmark = pytest.mark.smoke  # host-only: no jit, fast cold
+
 ASM_DIR = "/root/reference/assembler/test_data/asm"
 
 CALLEE = (9, 10, 11, 12)

@@ -19,9 +19,11 @@ TABLE_NAMES = [
 FIB = "/root/reference/assembler/test_data/asm/fib_asm.json"
 SQRT = "/root/reference/circuits/benches/asm/sqrt_prophet_asm.json"
 
-pytestmark = pytest.mark.skipif(
-    not fx.available, reason="native gl_executor unavailable"
-)
+pytestmark = [
+    pytest.mark.skipif(not fx.available,
+                       reason="native gl_executor unavailable"),
+    pytest.mark.smoke,  # host-only: no jit, fast cold
+]
 
 
 @pytest.mark.parametrize(

@@ -6,6 +6,9 @@ import numpy as np
 
 from olavm_tpu.hash.keccak import keccak256, keccak256_batch
 from olavm_tpu.hash.hashers import by_name
+import pytest
+
+pytestmark = pytest.mark.smoke  # host-only: no jit, fast cold
 
 
 def test_keccak256_spec_vectors():

@@ -14,6 +14,8 @@ from olavm_tpu.native import lookup_native
 from olavm_tpu.stark.challenger import Challenger
 from olavm_tpu.stark.lookup import _permuted_cols_py, permuted_cols
 
+pytestmark = pytest.mark.smoke  # host-only: no jit, fast cold
+
 rng = np.random.default_rng(7)
 
 

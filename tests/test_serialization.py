@@ -13,6 +13,9 @@ from olavm_tpu.stark.serialization import (
 from olavm_tpu.stark.verifier import verify_proof
 
 from tests.test_stark_framework import ToySystem, build_traces
+import pytest
+
+pytestmark = pytest.mark.smoke  # host-only: no jit, fast cold
 
 
 def test_proof_roundtrip_bytes():

@@ -25,6 +25,8 @@ from olavm_tpu.stark.serialization import serialize_all_proof
 
 from test_stark_framework import ToySystem, build_traces
 
+pytestmark = pytest.mark.smoke  # host-only: no jit, fast cold
+
 FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
                        "transcript_golden.json")
 
