@@ -259,3 +259,152 @@ def dryrun_prove_step(n_devices: int) -> None:
         f"cap[0][0]={int(np.asarray(cap)[0][0])}, "
         f"quotient[0]={int(np.asarray(outs[0])[0])}"
     )
+
+
+# ---------------------------------------------------------------------------
+# full multi-device prover (VERDICT r3 item 5)
+# ---------------------------------------------------------------------------
+
+
+def _lanes_to_cap64(lanes: list[np.ndarray]) -> np.ndarray:
+    arr = np.stack([np.asarray(d, dtype=np.uint32) for d in lanes], axis=-1)
+    return np.ascontiguousarray(arr).view(np.uint64).reshape(arr.shape[0], 4)
+
+
+def _cap64_to_lanes(cap64: np.ndarray) -> list[np.ndarray]:
+    w32 = np.ascontiguousarray(cap64, dtype=np.uint64).view(np.uint32)
+    w32 = w32.reshape(cap64.shape[0], 8)
+    return [np.ascontiguousarray(w32[:, i]) for i in range(8)]
+
+
+def sharded_batch_from_values(mesh: Mesh, values: gf.GF, rate_bits: int,
+                              cap_height: int, hasher_kind: str = "blake3"):
+    """Sharded analogue of DevicePolynomialBatch.from_values: the commit's
+    heavy phases (per-column iNTT + coset-LDE, the all-to-all transpose,
+    row-sharded leaf hashing and subtree Merkle reduction) run on the mesh;
+    the resulting coefficients / digest levels are then re-hosted onto the
+    default device so openings, FRI and path gathers reuse the single-chip
+    machinery unchanged. Digest values are bit-identical to the single-chip
+    commit (tests/test_sharded_prover.py), so the proof transcript is
+    byte-equal.
+
+    Subsumed reference parallelism: per-polynomial IFFT/LDE rayon loops
+    (plonky2/src/fri/oracle.rs:56-128) and the rayon digest tree
+    (hash/merkle_tree/mod.rs:146-228)."""
+    from ..hash.hashers import by_name
+    from ..stark.oracle_device import DevicePolynomialBatch
+
+    C, n = values.shape
+    degree_bits = log2_strict(n)
+    lde_bits = degree_bits + rate_bits
+    n_dev = mesh.size
+    axes = tuple(mesh.axis_names)
+    pad = (-C) % n_dev
+    if pad:
+        z = jnp.zeros((pad, n), values.lo.dtype)
+        x_in = gf.GF(jnp.concatenate([values.lo, z]),
+                     jnp.concatenate([values.hi, z]))
+    else:
+        x_in = values
+
+    col_spec = P(axes, None)
+
+    def intt_step(lo, hi):
+        c = dntt.intt(gf.GF(lo, hi))
+        return c.lo, c.hi
+
+    ifn = shard_map(intt_step, mesh=mesh, in_specs=(col_spec, col_spec),
+                    out_specs=(col_spec, col_spec), check_rep=False)
+    commit = commit_fn(mesh, C + pad, degree_bits, rate_bits, hasher_kind,
+                       real_cols=C)
+    compress = compress_level_fn(mesh, hasher_kind)
+
+    with mesh:
+        clo, chi = jax.jit(ifn)(x_in.lo, x_in.hi)
+        out = jax.jit(commit)(x_in.lo, x_in.hi)
+        digs = list(out[:8])
+        levels_np = [[np.asarray(d) for d in digs]]
+        m = 1 << lde_bits
+        cfn = jax.jit(compress)
+        while m > (1 << cap_height) and m > 2 * n_dev:
+            digs = list(cfn(*digs))
+            m >>= 1
+            levels_np.append([np.asarray(d) for d in digs])
+        # tiny tail levels on host (below one pair per device)
+        hasher = by_name(hasher_kind)
+        cur = _lanes_to_cap64(levels_np[-1])
+        while m > (1 << cap_height):
+            cur = hasher.compress(cur[0::2], cur[1::2])
+            m >>= 1
+            levels_np.append(_cap64_to_lanes(cur))
+    cap64 = _lanes_to_cap64(levels_np[-1])  # == cur when tail ran
+    levels_np.pop()  # cap level is not part of query paths
+
+    coeffs = gf.GF(jnp.asarray(np.asarray(clo)[:C]),
+                   jnp.asarray(np.asarray(chi)[:C]))
+    levels_dev = [[jnp.asarray(lane) for lane in lv] for lv in levels_np]
+    return DevicePolynomialBatch(coeffs, levels_dev, [], cap64, degree_bits,
+                                 rate_bits, hasher_kind)
+
+
+class ShardedOracle:
+    """Factory plugged into prove_with_traces_device: commits run on the
+    mesh, everything else on the default device."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+
+    def from_values(self, values: gf.GF, rate_bits: int, cap_height: int,
+                    hasher_kind: str, defer_cap_pull: bool = False):
+        return sharded_batch_from_values(self.mesh, values, rate_bits,
+                                         cap_height, hasher_kind)
+
+    def from_coeffs(self, coeffs: gf.GF, rate_bits: int, cap_height: int,
+                    hasher_kind: str, defer_cap_pull: bool = False):
+        # values = NTT(coeffs) col-sharded, then the values path
+        axes = tuple(self.mesh.axis_names)
+        col_spec = P(axes, None)
+        C, n = coeffs.shape
+        n_dev = self.mesh.size
+        pad = (-C) % n_dev
+        if pad:
+            z = jnp.zeros((pad, n), coeffs.lo.dtype)
+            coeffs = gf.GF(jnp.concatenate([coeffs.lo, z]),
+                           jnp.concatenate([coeffs.hi, z]))
+
+        def ntt_step(lo, hi):
+            v = dntt.ntt(gf.GF(lo, hi))
+            return v.lo, v.hi
+
+        nfn = shard_map(ntt_step, mesh=self.mesh,
+                        in_specs=(col_spec, col_spec),
+                        out_specs=(col_spec, col_spec), check_rep=False)
+        with self.mesh:
+            vlo, vhi = jax.jit(nfn)(coeffs.lo, coeffs.hi)
+        values = gf.GF(jnp.asarray(np.asarray(vlo)[:C]),
+                       jnp.asarray(np.asarray(vhi)[:C]))
+        return sharded_batch_from_values(self.mesh, values, rate_bits,
+                                         cap_height, hasher_kind)
+
+
+def prove_with_traces_sharded(ola_stark, config, trace_poly_values,
+                              public_values=None, timing=None,
+                              mesh: Mesh | None = None):
+    """Full multi-device prove producing an AllProof BYTE-EQUAL to the
+    single-device prover: all trace/Z/quotient commitments run on the mesh
+    (column-sharded NTTs, one all-to-all, row-sharded hashing/reduction);
+    the Fiat-Shamir challenger stays on host; CTL scans, quotient
+    evaluation, openings and FRI run on the default device (quotient
+    row-sharding exists as quotient_eval_fn and joins this path next).
+
+    Subsumes the reference's rayon parallelism across fri/oracle.rs:56-128,
+    prover.rs:571-660 (per-commit phases) on a real device mesh."""
+    from ..stark.prover_device import prove_with_traces_device
+
+    if mesh is None:
+        mesh = (config.mesh.build_mesh()
+                if getattr(config, "mesh", None) else make_mesh())
+    return prove_with_traces_device(
+        ola_stark, config, trace_poly_values, public_values=public_values,
+        timing=timing, oracle=ShardedOracle(mesh),
+    )

@@ -881,7 +881,8 @@ def _openings_device(trace_batch, zs_batch, quotient_batch, z_values: gf.GF,
 def prove_single_table_device(stark, config, trace_values: gf.GF,
                               trace_batch: DevicePolynomialBatch,
                               ctl_data, challenger, timing,
-                              table_name: str = "?") -> StarkProof:
+                              table_name: str = "?",
+                              oracle=DevicePolynomialBatch) -> StarkProof:
     import jax.numpy as jnp
 
     degree = trace_values.shape[1]
@@ -916,7 +917,7 @@ def prove_single_table_device(stark, config, trace_values: gf.GF,
     )
 
     with timing.scope("Z commitment"):
-        zs_batch = DevicePolynomialBatch.from_values(
+        zs_batch = oracle.from_values(
             z_values, rate_bits, cap_height, hasher_kind
         )
     challenger.observe_cap(zs_batch.cap, hasher)
@@ -931,7 +932,7 @@ def prove_single_table_device(stark, config, trace_values: gf.GF,
     _log_hbm(f"table {table_name} quotient")
 
     with timing.scope("quotient commitment"):
-        quotient_batch = DevicePolynomialBatch.from_coeffs(
+        quotient_batch = oracle.from_coeffs(
             quotient_coeffs, rate_bits, cap_height, hasher_kind
         )
     challenger.observe_cap(quotient_batch.cap, hasher)
@@ -981,7 +982,8 @@ def prove_single_table_device(stark, config, trace_values: gf.GF,
 def prove_with_traces_device(ola_stark, config: StarkConfig,
                              trace_poly_values: list[np.ndarray],
                              public_values: PublicValues | None = None,
-                             timing: TimingTree | None = None) -> AllProof:
+                             timing: TimingTree | None = None,
+                             oracle=DevicePolynomialBatch) -> AllProof:
     """Device analogue of prover.prove_with_traces: same challenger
     transcript, all heavy phases on the accelerator. trace_poly_values:
     per table (num_cols, degree) uint64 host arrays (uploaded once)."""
@@ -1003,21 +1005,24 @@ def prove_with_traces_device(ola_stark, config: StarkConfig,
             logger.info("trace commit %d/%d shape=%s", ti + 1,
                         len(values_dev), v.shape)
             trace_batches.append(
-                DevicePolynomialBatch.from_values(v, rate_bits, cap_height,
+                oracle.from_values(v, rate_bits, cap_height,
                                                   hasher_kind,
                                                   defer_cap_pull=True)
             )
-        # one fused D2H pull for all 12 caps (vs 12 latency-bound pulls)
+        # one fused D2H pull for all 12 caps (vs 12 latency-bound pulls);
+        # oracles that already resolved their caps (ShardedOracle) skip it
         from ..merkle.device import stack_lanes_device
 
-        all_caps = _jit(("allcaps", len(trace_batches), cap_height),
-                        lambda *ls: jnp.concatenate(ls, axis=0))(
-            *[stack_lanes_device(b.cap_lanes_device) for b in trace_batches])
-        caps_np = np.ascontiguousarray(
-            np.asarray(all_caps, dtype=np.uint32)
-        ).view(np.uint64).reshape(len(trace_batches), -1, 4)
-        for b, c in zip(trace_batches, caps_np):
-            b._cap = c
+        deferred = [b for b in trace_batches if isinstance(b._cap, list)]
+        if deferred:
+            all_caps = _jit(("allcaps", len(deferred), cap_height),
+                            lambda *ls: jnp.concatenate(ls, axis=0))(
+                *[stack_lanes_device(b.cap_lanes_device) for b in deferred])
+            caps_np = np.ascontiguousarray(
+                np.asarray(all_caps, dtype=np.uint32)
+            ).view(np.uint64).reshape(len(deferred), -1, 4)
+            for b, c in zip(deferred, caps_np):
+                b._cap = c
     _log_hbm("trace commitments")
 
     challenger = Challenger()
@@ -1037,7 +1042,7 @@ def prove_with_traces_device(ola_stark, config: StarkConfig,
             proof = prove_single_table_device(
                 stark, config, values_dev[idx], trace_batches[idx],
                 ctl_data_per_table[idx], challenger, timing,
-                table_name=str(idx),
+                table_name=str(idx), oracle=oracle,
             )
         stark_proofs.append(proof)
         # free everything only this table needed (values, ctl Z arrays)

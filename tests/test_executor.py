@@ -121,3 +121,14 @@ def test_run_program_with_storage(name, calldata):
     process, program, tree = run_program_full(f"{ASM_DIR}/{name}", calldata)
     assert len(program.trace.exec) > 0
     assert program.trace.exec[-1].opcode == 1 << 20  # END
+
+
+def test_prophet_rejects_unsupported():
+    """Constructs outside the supported prophet grammar subset raise
+    ProphetError instead of silently mis-executing (docs/PROPHET_GRAMMAR.md;
+    the reference's full parser is interpreter/src/parser)."""
+    from olavm_tpu.interpreter.prophet import ProphetError, ProphetInterpreter
+
+    code = "%{ entry() { for (felt i = 0; i < 10; i = i + 1) { } } %}"
+    with pytest.raises(ProphetError):
+        ProphetInterpreter(code).run({"inputs": [], "outputs": []}, [], [])
