@@ -61,8 +61,10 @@ def _jit(key, fn):
 
     import jax
 
+    from ..utils import jitcache
+
     if key not in _jit_cache:
-        jf = jax.jit(fn)
+        jf = jitcache.cached_jit(key, fn)
         if os.environ.get("OLAVM_SYNC_EVERY_JIT"):
             # debug mode: block after every dispatch so a hanging/slow graph
             # is identified by the Python call site (faulthandler stack)

@@ -20,14 +20,6 @@ def force_cpu(virtual_devices: int | None = None):
     jax.config.update("jax_platforms", "cpu")
 
 
-def enable_compile_cache(path: str = "/root/.cache/olavm_tpu_jax"):
-    """Persistent XLA compile cache — compiles of the big field/NTT/Poseidon
-    graphs take minutes on this host, so cache them across processes."""
-    jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-
-
 def on_tpu() -> bool:
     try:
         return jax.devices()[0].platform not in ("cpu",)
