@@ -95,10 +95,37 @@ def main():
         sys.exit(1)
 
     config = StarkConfig.standard_fast_config()
-    # warmup pass: JIT-compile (and persist-cache) every device graph so the
-    # timed pass measures steady-state prove time, as the reference's number
-    # excludes cargo build time. Disable with OLAVM_BENCH_WARMUP=0.
-    warmup = os.environ.get("OLAVM_BENCH_WARMUP", "1") == "1"
+    at_reference_scale = (actual_log == REF_LOG_ROWS and workload == "fib")
+
+    def partial(phase, seconds):
+        # a driver timeout mid-run should still yield a parseable data point
+        # (VERDICT r4 weak #2): each completed phase prints a full JSON
+        # record immediately; the final headline line comes last.
+        print(json.dumps({
+            "metric": f"{workload}_{phase}_2^{actual_log}_rows",
+            "value": round(seconds, 3), "unit": "s", "vs_baseline": 0.0,
+        }), flush=True)
+
+    partial("execute", t_exec)
+    partial("trace_gen", t_gen)
+
+    # Warmup pass: populate every cache tier (trace export cache, XLA
+    # persistent compile cache, in-process executables) so the timed pass
+    # measures steady-state prove time, as the reference's number excludes
+    # cargo build time. Skipped when a marker records a completed same-shape
+    # prove on this machine (the caches are then warm; the only remaining
+    # per-process cost is executable loading, which IS part of steady state
+    # for a fresh process). OLAVM_BENCH_WARMUP=0/1 forces.
+    from olavm_tpu.utils.platform import cache_tag
+
+    marker = os.path.join(
+        os.path.expanduser("~"), ".cache",
+        f"olavm_bench_done-{cache_tag()}-{workload}-{actual_log}-{backend}")
+    warmup_env = os.environ.get("OLAVM_BENCH_WARMUP")
+    if warmup_env is not None:
+        warmup = warmup_env == "1"
+    else:
+        warmup = not os.path.exists(marker)
     from olavm_tpu.utils.timing import TimingTree
 
     if backend == "device":
@@ -107,8 +134,10 @@ def main():
         if warmup:
             t0 = time.time()
             prove_with_traces_device(ola, config, traces)
-            print(f"# warmup prove (incl. compiles): {time.time()-t0:.2f}s",
+            t_warm = time.time() - t0
+            print(f"# warmup prove (incl. compiles): {t_warm:.2f}s",
                   file=sys.stderr)
+            partial("warmup_prove", t_warm)
         timing = TimingTree()
         t0 = time.time()
         proof = prove_with_traces_device(ola, config, traces, timing=timing)
@@ -121,10 +150,18 @@ def main():
         proof = prove_with_traces(ola, config, traces)
         t_prove = time.time() - t0
     timing.print(min_secs=0.05, file=sys.stderr)
+    partial("prove", t_prove)
+    try:
+        with open(marker, "w") as f:
+            f.write(json.dumps({"prove_s": round(t_prove, 3),
+                                "time": time.time()}))
+    except OSError:
+        pass
 
+    t0 = time.time()
     verify_proof(ola, proof, config)
+    partial("verify", time.time() - t0)
 
-    at_reference_scale = (actual_log == REF_LOG_ROWS and workload == "fib")
     vs = round(ref_seconds / t_prove, 3) if at_reference_scale else 0.0
     print(
         f"# workload={workload} backend={backend} exec={t_exec:.2f}s "
@@ -137,7 +174,7 @@ def main():
         "value": round(t_prove, 3),
         "unit": "s",
         "vs_baseline": vs,
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -202,9 +202,9 @@ _MUL_MODE: dict = {"mode": None}  # None | "u32" | "f32"
 def _use_f32_mul() -> bool:
     if _MUL_MODE["mode"] is not None:
         return _MUL_MODE["mode"] == "f32"
-    import jax
+    from ..utils.platform import on_tpu
 
-    return jax.default_backend() == "tpu"
+    return on_tpu()
 
 
 def mul(a: GF, b: GF) -> GF:

@@ -44,11 +44,11 @@ _FORCE: dict = {"mode": None}  # None = auto, True/False = override
 
 
 def use_pallas(n: int) -> bool:
-    import jax
-
     if _FORCE["mode"] is not None:
         return _FORCE["mode"] and n >= (1 << 6)
-    return jax.default_backend() == "tpu" and n >= (1 << 14)
+    from ..utils.platform import on_tpu
+
+    return on_tpu() and n >= (1 << 14)
 
 
 def _factors(ln: int) -> list[int]:
@@ -229,9 +229,9 @@ def ntt_pallas(x: gf.GF, inverse: bool = False,
     n = x.shape[-1]
     ln = log2_strict(n)
     if interpret is None:
-        import jax
+        from ..utils.platform import on_tpu
 
-        interpret = jax.default_backend() != "tpu"
+        interpret = not on_tpu()
     from jax.core import Tracer
 
     batch_shape = x.shape[:-1]

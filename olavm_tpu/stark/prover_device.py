@@ -77,10 +77,6 @@ def _log_hbm(tag: str):
     except Exception:  # memory_stats unsupported on some backends
         pass
 
-def clear_device_caches():
-    pass
-
-
 # ---------------------------------------------------------------------------
 # quotient
 # ---------------------------------------------------------------------------
@@ -88,7 +84,8 @@ def clear_device_caches():
 
 def compute_quotient_polys_device(stark, config, trace_batch, zs_batch,
                                   permutation_challenges, ctl_data, alphas,
-                                  degree_bits, num_permutation_zs) -> gf.GF:
+                                  degree_bits, num_permutation_zs,
+                                  mesh=None) -> gf.GF:
     """Device compute_quotient_polys (prover.rs:571-705): the same
     stark.eval_packed constraint code, traced through GfOps, with all
     Fiat-Shamir scalars passed as a device bank.
@@ -247,18 +244,56 @@ def compute_quotient_polys_device(stark, config, trace_batch, zs_batch,
     key = ("quotient", type(stark).__name__, trace_batch.coeffs.shape,
            zs_batch.coeffs.shape, num_permutation_zs, len(ctl_meta),
            perm_meta)
-    fn = _jit(key, chunk_fn)
 
+    n_classes = 1 << qdb
     per_class = [[] for _ in range(num_alphas)]  # [alpha][class] -> GF (n,)
-    for r in range(1 << qdb):
-        s = gf.from_u64(shifts[r])
-        outs = fn(
-            trace_batch.coeffs.lo, trace_batch.coeffs.hi,
-            zs_batch.coeffs.lo, zs_batch.coeffs.hi,
-            s.lo, s.hi, bank.lo, bank.hi,
+    if mesh is not None and n_classes % mesh.size == 0:
+        # MESH-SHARDED quotient (the reference's par_iter over coset chunks,
+        # prover.rs:571-660): every residue class is an independent (C, n)
+        # evaluation of the SAME chunk_fn, so classes are distributed over
+        # all mesh devices (trace/Z coeffs replicated, shifts sharded) and
+        # each device vmaps its local classes. Identical exact arithmetic
+        # to the sequential loop -> the proof stays byte-equal.
+        import jax
+
+        from jax.sharding import PartitionSpec as P
+
+        axes = tuple(mesh.axis_names)
+
+        def classes_fn(t_lo, t_hi, z_lo, z_hi, s_lo, s_hi, bank_lo, bank_hi):
+            return jax.vmap(
+                chunk_fn,
+                in_axes=(None, None, None, None, 0, 0, None, None),
+            )(t_lo, t_hi, z_lo, z_hi, s_lo, s_hi, bank_lo, bank_hi)
+
+        sfn = jax.shard_map(
+            classes_fn, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(axes), P(axes), P(), P()),
+            out_specs=P(axes, None),
+            check_vma=False,
         )
+        s_all = gf.from_u64(shifts)
+        with mesh:
+            outs = jax.jit(sfn)(
+                trace_batch.coeffs.lo, trace_batch.coeffs.hi,
+                zs_batch.coeffs.lo, zs_batch.coeffs.hi,
+                s_all.lo, s_all.hi, bank.lo, bank.hi,
+            )
         for i in range(num_alphas):
-            per_class[i].append(gf.GF(outs[2 * i], outs[2 * i + 1]))
+            for r in range(n_classes):
+                per_class[i].append(
+                    gf.GF(outs[2 * i][r], outs[2 * i + 1][r]))
+    else:
+        fn = _jit(key, chunk_fn)
+        for r in range(n_classes):
+            s = gf.from_u64(shifts[r])
+            outs = fn(
+                trace_batch.coeffs.lo, trace_batch.coeffs.hi,
+                zs_batch.coeffs.lo, zs_batch.coeffs.hi,
+                s.lo, s.hi, bank.lo, bank.hi,
+            )
+            for i in range(num_alphas):
+                per_class[i].append(gf.GF(outs[2 * i], outs[2 * i + 1]))
 
     # interleave classes back to natural coset order j = (k << qdb) | r
     quotient_values = gf.GF(
@@ -324,13 +359,13 @@ def fri_pow_device(current_hash: list[int], fri_config) -> int:
 
     from ..hash import poseidon as pos
 
-    import jax as _jax
+    from ..utils.platform import on_tpu
 
     pow_bits = fri_config.proof_of_work_bits
     assert pow_bits <= 32
     # batch size doesn't change the (lowest-nonce) witness — batches scan
     # nonces in order; smaller batches keep CPU-backend tests fast
-    B = 1 << 18 if _jax.default_backend() == "tpu" else 1 << 14
+    B = 1 << 18 if on_tpu() else 1 << 14
     hi_bound = np.uint32(1 << (32 - pow_bits)) if pow_bits else None
 
     def grind(h_lo, h_hi, start_lo):
@@ -360,10 +395,16 @@ def fri_pow_device(current_hash: list[int], fri_config) -> int:
 
 
 class _DeviceExtTree:
-    """Commit-phase FRI tree over flattened extension leaves (device)."""
+    """Commit-phase FRI tree over flattened extension leaves (device).
+
+    With a mesh, leaf absorption and the within-subtree level reduction run
+    row-sharded over all devices (bit-reversed order makes every contiguous
+    shard a subtree, same layout argument as parallel/sharded.commit_fn) —
+    the mesh analogue of the reference's rayon FRI tree
+    (plonky2/src/fri/prover.rs:45-70, hash/merkle_tree/mod.rs:146-228)."""
 
     def __init__(self, values: gfe.GFE, arity: int, cap_height: int,
-                 hasher_kind: str):
+                 hasher_kind: str, mesh=None):
         from ..merkle import device as dmerkle
         from ..ntt import ntt as dntt
 
@@ -394,10 +435,10 @@ class _DeviceExtTree:
         bpw = W // 8
 
         def absorb(r_lo, r_hi, i_lo, i_hi, fl, bl, cn, *st, _s=0, _e=0):
-            rl = r_lo.reshape(n_leaves, arity).T
-            rh = r_hi.reshape(n_leaves, arity).T
-            il = i_lo.reshape(n_leaves, arity).T
-            ih = i_hi.reshape(n_leaves, arity).T
+            rl = r_lo.reshape(-1, arity).T
+            rh = r_hi.reshape(-1, arity).T
+            il = i_lo.reshape(-1, arity).T
+            ih = i_hi.reshape(-1, arity).T
             words = []
             for col in range(_s, _e):
                 j = col // 2
@@ -408,19 +449,72 @@ class _DeviceExtTree:
             return tuple(dmerkle.leaf_stream_absorb(
                 jnp, list(st), words, fl, bl, hasher_kind, counter_arr=cn))
 
-        for s in range(0, total_cols, W):
-            e = min(total_cols, s + W)
-            fn = _jit(("friabsorb", n, arity, s, e, hasher_kind),
-                      lambda *a, _s=s, _e=e: absorb(*a, _s=_s, _e=_e))
-            b0 = s // 8
-            b1 = (2 * (e - s) + 15) // 16 + b0
-            state = list(fn(pv.re.lo, pv.re.hi, pv.im.lo, pv.im.hi,
-                            flags_np[b0:b1], blen_np[b0:b1],
-                            counter_np[b0:b1], *state))
-        digs = dmerkle.leaf_stream_finalize(state, hasher_kind)
-        self.levels_dev, self.levels_host, self.cap = build_tree_device(
-            digs, n_leaves, cap_height, hasher_kind
-        )
+        use_mesh = mesh is not None and n_leaves % (2 * mesh.size) == 0
+        if use_mesh:
+            import jax as _jax
+            from jax.sharding import PartitionSpec as P
+
+            axes = tuple(mesh.axis_names)
+            vec = P(axes)
+
+            def _shard_absorb(s, e, nstate):
+                fn = _jax.shard_map(
+                    lambda *a, _s=s, _e=e: absorb(*a, _s=_s, _e=_e),
+                    mesh=mesh,
+                    in_specs=(vec,) * 4 + (P(), P(), P()) + (vec,) * nstate,
+                    out_specs=(vec,) * nstate, check_vma=False)
+                return _jax.jit(fn)
+
+            with mesh:
+                for s in range(0, total_cols, W):
+                    e = min(total_cols, s + W)
+                    b0 = s // 8
+                    b1 = (2 * (e - s) + 15) // 16 + b0
+                    fn = _shard_absorb(s, e, len(state))
+                    state = list(fn(pv.re.lo, pv.re.hi, pv.im.lo, pv.im.hi,
+                                    flags_np[b0:b1], blen_np[b0:b1],
+                                    counter_np[b0:b1], *state))
+                digs = dmerkle.leaf_stream_finalize(state, hasher_kind)
+                # row-sharded subtree reduction while each device still
+                # holds >= 1 pair; tiny tail levels finish unsharded
+                levels = [list(digs)]
+                m = n_leaves
+                cfn = _jax.jit(_jax.shard_map(
+                    lambda *ds: tuple(
+                        dmerkle.compress_level(list(ds), hasher_kind)),
+                    mesh=mesh, in_specs=(vec,) * 8, out_specs=(vec,) * 8,
+                    check_vma=False))
+                cur = list(digs)
+                while m > (1 << cap_height) and m > 2 * mesh.size:
+                    cur = list(cfn(*cur))
+                    m >>= 1
+                    levels.append(cur)
+            cur = [jnp.asarray(np.asarray(d)) for d in cur]
+            while m > (1 << cap_height):
+                fn = _jit(("compress", m, hasher_kind),
+                          lambda *ds: tuple(dmerkle.compress_level(
+                              list(ds), hasher_kind)))
+                cur = list(fn(*cur))
+                m >>= 1
+                levels.append(cur)
+            cap_lanes = levels.pop()
+            self.levels_dev = levels
+            self.levels_host = []
+            self.cap = dmerkle.digests_to_u64_np(cap_lanes)
+        else:
+            for s in range(0, total_cols, W):
+                e = min(total_cols, s + W)
+                fn = _jit(("friabsorb", n, arity, s, e, hasher_kind),
+                          lambda *a, _s=s, _e=e: absorb(*a, _s=_s, _e=_e))
+                b0 = s // 8
+                b1 = (2 * (e - s) + 15) // 16 + b0
+                state = list(fn(pv.re.lo, pv.re.hi, pv.im.lo, pv.im.hi,
+                                flags_np[b0:b1], blen_np[b0:b1],
+                                counter_np[b0:b1], *state))
+            digs = dmerkle.leaf_stream_finalize(state, hasher_kind)
+            self.levels_dev, self.levels_host, self.cap = build_tree_device(
+                digs, n_leaves, cap_height, hasher_kind
+            )
         self.n_leaves = n_leaves
         self.cap_height = cap_height
 
@@ -449,7 +543,8 @@ class _DeviceExtTree:
 
 
 def prove_openings_device(instance, openings_batches, oracles, challenger,
-                          config, degree_bits, hasher_kind, timing):
+                          config, degree_bits, hasher_kind, timing,
+                          mesh=None):
     """Device PolynomialBatch::prove_openings + fri_proof
     (fri/oracle.rs:167-243, fri/prover.rs:20-150).
 
@@ -625,13 +720,13 @@ def prove_openings_device(instance, openings_batches, oracles, challenger,
 
     return fri_proof_device(
         oracles, coeffs, values, challenger, fri_config, degree_bits,
-        hasher_kind, timing,
+        hasher_kind, timing, mesh=mesh,
     )
 
 
 def fri_proof_device(initial_oracles, coeffs: gfe.GFE, values: gfe.GFE,
                      challenger, config, degree_bits: int, hasher_kind: str,
-                     timing) -> FriProof:
+                     timing, mesh=None) -> FriProof:
     import jax.numpy as jnp
 
     from ..hash.hashers import by_name
@@ -645,7 +740,8 @@ def fri_proof_device(initial_oracles, coeffs: gfe.GFE, values: gfe.GFE,
     shift = g.MULTIPLICATIVE_GROUP_GENERATOR
     for arity_bits in arity_schedule:
         arity = 1 << arity_bits
-        tree = _DeviceExtTree(values, arity, config.cap_height, hasher_kind)
+        tree = _DeviceExtTree(values, arity, config.cap_height, hasher_kind,
+                              mesh=mesh)
         challenger.observe_cap(tree.cap, hasher)
         trees.append(tree)
 
@@ -665,12 +761,14 @@ def fri_proof_device(initial_oracles, coeffs: gfe.GFE, values: gfe.GFE,
             ih = c.im.hi.reshape(-1, arity)
             bp = gfe.powers(b, arity)  # (arity,) beta^0..beta^{arity-1}
 
-            def bc(e):
+            def bc(e, _g=rl):
+                # _g.shape[0] (not m//arity) so the same body is valid on a
+                # per-device shard under shard_map
                 return gfe.GFE(
-                    gf.GF(jnp.broadcast_to(e.re.lo, (m // arity,)),
-                          jnp.broadcast_to(e.re.hi, (m // arity,))),
-                    gf.GF(jnp.broadcast_to(e.im.lo, (m // arity,)),
-                          jnp.broadcast_to(e.im.hi, (m // arity,))),
+                    gf.GF(jnp.broadcast_to(e.re.lo, (_g.shape[0],)),
+                          jnp.broadcast_to(e.re.hi, (_g.shape[0],))),
+                    gf.GF(jnp.broadcast_to(e.im.lo, (_g.shape[0],)),
+                          jnp.broadcast_to(e.im.hi, (_g.shape[0],))),
                 )
 
             terms = []
@@ -687,9 +785,26 @@ def fri_proof_device(initial_oracles, coeffs: gfe.GFE, values: gfe.GFE,
             acc = terms[0]
             return acc.re.lo, acc.re.hi, acc.im.lo, acc.im.hi
 
-        fn = _jit(("frifold", m, arity), fold_fn)
-        out = fn(coeffs.re.lo, coeffs.re.hi, coeffs.im.lo, coeffs.im.hi,
-                 beta.re.lo, beta.re.hi, beta.im.lo, beta.im.hi)
+        if mesh is not None and (m // arity) % mesh.size == 0:
+            # mesh-sharded fold (fri/prover.rs:72-124's par chunk loop):
+            # contiguous coefficient groups are independent, so lanes are
+            # row-sharded and beta replicated — same exact arithmetic
+            import jax as _jax
+            from jax.sharding import PartitionSpec as P
+
+            vec = P(tuple(mesh.axis_names))
+            sfn = _jax.jit(_jax.shard_map(
+                fold_fn, mesh=mesh,
+                in_specs=(vec,) * 4 + (P(),) * 4,
+                out_specs=(vec,) * 4, check_vma=False))
+            with mesh:
+                out = sfn(coeffs.re.lo, coeffs.re.hi,
+                          coeffs.im.lo, coeffs.im.hi,
+                          beta.re.lo, beta.re.hi, beta.im.lo, beta.im.hi)
+        else:
+            fn = _jit(("frifold", m, arity), fold_fn)
+            out = fn(coeffs.re.lo, coeffs.re.hi, coeffs.im.lo, coeffs.im.hi,
+                     beta.re.lo, beta.re.hi, beta.im.lo, beta.im.hi)
         coeffs = gfe.GFE(gf.GF(out[0], out[1]), gf.GF(out[2], out[3]))
         shift = pow(shift, arity, g.P)
 
@@ -893,6 +1008,9 @@ def prove_single_table_device(stark, config, trace_values: gf.GF,
     hasher = config.hasher()
     total_arities = sum(config.fri_config.reduction_arity_bits(degree_bits))
     assert total_arities <= degree_bits + rate_bits - cap_height
+    # a mesh-backed oracle (parallel.sharded.ShardedOracle) also shards the
+    # quotient classes, FRI folds and FRI trees over its mesh
+    mesh = getattr(oracle, "mesh", None)
 
     challenger.compact()
 
@@ -927,7 +1045,7 @@ def prove_single_table_device(stark, config, trace_values: gf.GF,
     with timing.scope("compute quotient polys"):
         quotient_coeffs = compute_quotient_polys_device(
             stark, config, trace_batch, zs_batch, permutation_challenges,
-            ctl_data, alphas, degree_bits, num_permutation_zs,
+            ctl_data, alphas, degree_bits, num_permutation_zs, mesh=mesh,
         )
     _log_hbm(f"table {table_name} quotient")
 
@@ -960,7 +1078,7 @@ def prove_single_table_device(stark, config, trace_values: gf.GF,
         opening_proof = prove_openings_device(
             instance, openings_batches,
             [trace_batch, zs_batch, quotient_batch],
-            challenger, config, degree_bits, hasher_kind, timing,
+            challenger, config, degree_bits, hasher_kind, timing, mesh=mesh,
         )
     _log_hbm(f"table {table_name} fri")
 
