@@ -41,6 +41,16 @@ from ..ntt import ntt as dntt
 from ..utils.bits import bit_reversal_perm, log2_strict
 
 
+def put_with_specs(mesh: Mesh, args, specs):
+    """device_put every arg onto the mesh with its PartitionSpec: jax 0.9
+    refuses device-0-committed arrays as inputs to a jitted shard_map over
+    a multi-device mesh (incompatible-devices error)."""
+    return tuple(
+        jax.device_put(a, NamedSharding(mesh, s))
+        for a, s in zip(args, specs)
+    )
+
+
 def make_mesh(n_devices: int | None = None, shape=None, axis_names=("col", "row")):
     """Build a device mesh. Default: 2D (col, row) as square as possible."""
     devs = jax.devices()
@@ -142,8 +152,11 @@ def sharded_commit(mesh: Mesh, x: gf.GF, rate_bits: int, cap_height: int,
     commit = commit_fn(mesh, num_cols + pad, degree_bits, rate_bits,
                        hasher_kind, real_cols=num_cols)
     compress = compress_level_fn(mesh, hasher_kind)
+    col_spec = P(tuple(mesh.axis_names), None)
     with mesh:
-        out = jax.jit(commit)(x_in.lo, x_in.hi)
+        in_lo, in_hi = put_with_specs(mesh, (x_in.lo, x_in.hi),
+                                      (col_spec, col_spec))
+        out = jax.jit(commit)(in_lo, in_hi)
         digs, leaves = list(out[:8]), gf.GF(out[8], out[9])
         size = 1 << lde_bits
         cfn = jax.jit(compress)
@@ -315,8 +328,10 @@ def sharded_batch_from_values(mesh: Mesh, values: gf.GF, rate_bits: int,
     compress = compress_level_fn(mesh, hasher_kind)
 
     with mesh:
-        clo, chi = jax.jit(ifn)(x_in.lo, x_in.hi)
-        out = jax.jit(commit)(x_in.lo, x_in.hi)
+        in_lo, in_hi = put_with_specs(mesh, (x_in.lo, x_in.hi),
+                                      (col_spec, col_spec))
+        clo, chi = jax.jit(ifn)(in_lo, in_hi)
+        out = jax.jit(commit)(in_lo, in_hi)
         digs = list(out[:8])
         levels_np = [[np.asarray(d) for d in digs]]
         m = 1 << lde_bits
@@ -375,7 +390,9 @@ class ShardedOracle:
                         in_specs=(col_spec, col_spec),
                         out_specs=(col_spec, col_spec), check_vma=False)
         with self.mesh:
-            vlo, vhi = jax.jit(nfn)(coeffs.lo, coeffs.hi)
+            in_lo, in_hi = put_with_specs(self.mesh, (coeffs.lo, coeffs.hi),
+                                          (col_spec, col_spec))
+            vlo, vhi = jax.jit(nfn)(in_lo, in_hi)
         values = gf.GF(jnp.asarray(np.asarray(vlo)[:C]),
                        jnp.asarray(np.asarray(vhi)[:C]))
         return sharded_batch_from_values(self.mesh, values, rate_bits,

@@ -153,75 +153,63 @@ def compute_quotient_polys_device(stark, config, trace_batch, zs_batch,
     g_last = g.inv(gen)  # gen^{n-1}
     n_inv = g.inv(degree)
 
-    def chunk_fn(t_lo, t_hi, z_lo, z_hi, s_lo, s_hi, bank_lo, bank_hi):
-        shift = gf.GF(s_lo, s_hi)  # () scalar
-        # coefficient scaling powers [shift^i] and evaluation points shift*H
-        spows = gf.powers(shift, degree)
-        xs = gf.mul(gf.powers(gen, degree),
-                    gf.GF(jnp.broadcast_to(shift.lo, (degree,)),
-                          jnp.broadcast_to(shift.hi, (degree,))))
-        # selector constants on this class (x^n - 1 == shift^n - 1, constant)
+    # ----- split program architecture (round 5) ---------------------------
+    # A single fused per-class program for the CPU table is a ~19 MB
+    # StableHLO module whose XLA compile gets SIGKILLed by the axon compile
+    # helper (measured: largest module that compiles is ~4 MB). The class
+    # evaluation is split into small programs with identical field
+    # arithmetic:
+    #   qvals    scale + NTT -> trace/Z values on the class coset
+    #   qpart*   partial alpha-Horner accumulators over a SLICE of the
+    #            global constraint sequence (eval_packed | permutation args
+    #            | CTL checks); consumer.py's group recurrence composes
+    #            exactly: a run over [a,b) yields sum_j c_j alpha^{b-1-j}
+    #   qfin     sum_p part_p * alpha^{K-b_p}, then * Z_H^{-1}
+    from .cross_table_lookup import eval_cross_table_lookup_checks
+    from .ops import BaseOps
+
+    def bc(e, shape=(degree,)):
+        return gf.GF(jnp.broadcast_to(e.lo, shape),
+                     jnp.broadcast_to(e.hi, shape))
+
+    def selectors(shift):
+        """(xs, z_last, lagrange_first, lagrange_last, zh_inv) on the class
+        coset shift*H (x^n - 1 == shift^n - 1 is constant on the class)."""
+        xs = gf.mul(gf.powers(gen, degree), bc(shift))
         xn = gf.exp_const(shift, degree)
         c = gf.sub(xn, gf.full((), 1))
         zh_inv = gf.inv(c)  # () scalar
         c_n = gf.mul(c, gf.full((), n_inv))
-
-        def bc(e, shape=(degree,)):
-            return gf.GF(jnp.broadcast_to(e.lo, shape),
-                         jnp.broadcast_to(e.hi, shape))
-
-        # L_0(x) = (x^n-1) / (n (x-1));  L_{n-1}(x) = (x^n-1) g^{-1} / (n (x - g^{-1}))
+        # L_0(x) = (x^n-1)/(n (x-1)); L_{n-1}(x) = (x^n-1) g^{-1}/(n (x-g^{-1}))
         lagrange_first = gf.mul(bc(c_n), gf.inv(gf.sub(xs, gf.full((), 1))))
         z_last = gf.sub(xs, gf.full((), g_last))
         lagrange_last = gf.mul(bc(gf.mul(c_n, gf.full((), g_last))),
                                gf.inv(z_last))
+        return xs, z_last, lagrange_first, lagrange_last, zh_inv
 
-        # values of trace/Z polys on this class coset + rolled next-row view
-        local = dntt.ntt(gf.mul(gf.GF(t_lo, t_hi), spows[None, :]))
-        zs_local = dntt.ntt(gf.mul(gf.GF(z_lo, z_hi), spows[None, :]))
-        nxt = gf.GF(jnp.roll(local.lo, -1, axis=1),
-                    jnp.roll(local.hi, -1, axis=1))
-        zs_next = gf.GF(jnp.roll(zs_local.lo, -1, axis=1),
-                        jnp.roll(zs_local.hi, -1, axis=1))
+    def emit_perm(consumer, F, lv, zs_local, zs_next, bscalar):
+        for zi in range(num_permutation_zs):
+            consumer.constraint_first_row(
+                F.sub(zs_local[zi], F.constant(1)))
+        for bi, instances in enumerate(perm_meta or ()):
+            red_lhs, red_rhs = [], []
+            for (column_pairs, ci) in instances:
+                chal = DevChallenge(bscalar(ci), bscalar(ci + 1))
+                red_lhs.append(
+                    chal.combine_ops(F, [lv[a] for (a, _) in column_pairs]))
+                red_rhs.append(
+                    chal.combine_ops(F, [lv[b] for (_, b) in column_pairs]))
+            prod_lhs = red_lhs[0]
+            for t in red_lhs[1:]:
+                prod_lhs = F.mul(prod_lhs, t)
+            prod_rhs = red_rhs[0]
+            for t in red_rhs[1:]:
+                prod_rhs = F.mul(prod_rhs, t)
+            consumer.constraint(
+                F.sub(F.mul(zs_next[bi], prod_rhs),
+                      F.mul(zs_local[bi], prod_lhs)))
 
-        def bscalar(i):
-            return gf.GF(bank_lo[i], bank_hi[i])
-
-        consumer = ConstraintConsumer(
-            GfOps,
-            [bscalar(i) for i in range(num_alphas)],
-            z_last,
-            lagrange_first,
-            lagrange_last,
-        )
-        lv = [local[i] for i in range(stark.COLUMNS)]
-        nv = [nxt[i] for i in range(stark.COLUMNS)]
-        stark.eval_packed(lv, nv, consumer)
-        if perm_meta is not None:
-            for z in [zs_local[i] for i in range(num_permutation_zs)]:
-                consumer.constraint_first_row(
-                    GfOps.sub(z, GfOps.constant(1))
-                )
-            for bi, instances in enumerate(perm_meta):
-                red_lhs, red_rhs = [], []
-                for (column_pairs, ci) in instances:
-                    chal = DevChallenge(bscalar(ci), bscalar(ci + 1))
-                    red_lhs.append(
-                        chal.combine_ops(GfOps, [lv[a] for (a, _) in column_pairs])
-                    )
-                    red_rhs.append(
-                        chal.combine_ops(GfOps, [lv[b] for (_, b) in column_pairs])
-                    )
-                prod_lhs = red_lhs[0]
-                for t in red_lhs[1:]:
-                    prod_lhs = GfOps.mul(prod_lhs, t)
-                prod_rhs = red_rhs[0]
-                for t in red_rhs[1:]:
-                    prod_rhs = GfOps.mul(prod_rhs, t)
-                consumer.constraint(
-                    GfOps.sub(GfOps.mul(zs_next[bi], prod_rhs),
-                              GfOps.mul(zs_local[bi], prod_lhs))
-                )
+    def emit_ctls(consumer, F, lv, nv, zs_local, zs_next, bscalar, c0, c1):
         ctl_vars = [
             CtlCheckVars(
                 zs_local[num_permutation_zs + i],
@@ -230,68 +218,202 @@ def compute_quotient_polys_device(stark, config, trace_batch, zs_batch,
                 ctl_data.zs_columns[i].columns,
                 ctl_data.zs_columns[i].filter_column,
             )
-            for i, off in enumerate(ctl_meta)
+            for i, off in list(enumerate(ctl_meta))[c0:c1]
         ]
-        from .cross_table_lookup import eval_cross_table_lookup_checks
-
         eval_cross_table_lookup_checks(lv, nv, ctl_vars, consumer)
+
+    # --- constraint counting pass: BaseOps on (1,) arrays, no tracing -----
+    class _Counting(ConstraintConsumer):
+        def __init__(self):
+            one = np.full(1, 1, np.uint64)
+            super().__init__(BaseOps, [one], one, one, one)
+            self.n = 0
+
+        def constraint(self, c):
+            self.n += 1
+
+    cc = _Counting()
+    ones = [np.full(1, 0, np.uint64) for _ in range(stark.COLUMNS)]
+    stark.eval_packed(ones, ones, cc)
+    k_stark = cc.n
+    k_perm = num_permutation_zs + len(perm_meta or ())
+    k_ctl = 2 * len(ctl_meta)
+    K = k_stark + k_perm + k_ctl
+
+    # --- part plan: global constraint slices -----------------------------
+    import os as _os
+
+    CHUNK = int(_os.environ.get("OLAVM_QPART_CHUNK", "120"))
+    parts = []  # (kind, payload, (a, b)) over the global sequence
+    a = 0
+    while a < k_stark:  # eval_packed slices (jaxpr DCE drops the rest)
+        b = min(k_stark, a + CHUNK)
+        parts.append(("stark", (a, b), (a, b)))
+        a = b
+    if k_perm:
+        parts.append(("perm", None, (k_stark, k_stark + k_perm)))
+    base = k_stark + k_perm
+    nctl = len(ctl_meta)
+    cchunk = max(1, CHUNK // 2)  # 2 constraints per CTL
+    for c0 in range(0, nctl, cchunk):
+        c1 = min(nctl, c0 + cchunk)
+        parts.append(("ctl", (c0, c1), (base + 2 * c0, base + 2 * c1)))
+
+    class _Slicing(ConstraintConsumer):
+        """Accumulate only constraints with global index in [a, b); others
+        are counted but dropped (their ops are dead and jax's jaxpr DCE
+        removes them before lowering)."""
+
+        def __init__(self, F, alphas, z_last, lf, ll, a, b, start):
+            super().__init__(F, alphas, z_last, lf, ll)
+            self._a, self._b, self._i = a, b, start
+
+        def constraint(self, c):
+            if self._a <= self._i < self._b:
+                super().constraint(c)
+            self._i += 1
+
+    def make_part_fn(kind, payload, bounds):
+        def part_fn(l_lo, l_hi, zl_lo, zl_hi, s_lo, s_hi, bank_lo, bank_hi):
+            shift = gf.GF(s_lo, s_hi)
+            _, z_last, lagrange_first, lagrange_last, _ = selectors(shift)
+            local = gf.GF(l_lo, l_hi)
+            zs_local_a = gf.GF(zl_lo, zl_hi)
+            nxt = gf.GF(jnp.roll(local.lo, -1, axis=1),
+                        jnp.roll(local.hi, -1, axis=1))
+            zs_next_a = gf.GF(jnp.roll(zs_local_a.lo, -1, axis=1),
+                              jnp.roll(zs_local_a.hi, -1, axis=1))
+
+            def bscalar(i):
+                return gf.GF(bank_lo[i], bank_hi[i])
+
+            lv = [local[i] for i in range(stark.COLUMNS)]
+            nv = [nxt[i] for i in range(stark.COLUMNS)]
+            zs_local = [zs_local_a[i] for i in range(zs_local_a.shape[0])]
+            zs_next = [zs_next_a[i] for i in range(zs_next_a.shape[0])]
+            alphas_dev = [bscalar(i) for i in range(num_alphas)]
+            if kind == "stark":
+                a, b = payload
+                consumer = _Slicing(GfOps, alphas_dev, z_last,
+                                    lagrange_first, lagrange_last, a, b, 0)
+                stark.eval_packed(lv, nv, consumer)
+            elif kind == "perm":
+                consumer = ConstraintConsumer(
+                    GfOps, alphas_dev, z_last, lagrange_first, lagrange_last)
+                emit_perm(consumer, GfOps, lv, zs_local, zs_next, bscalar)
+            else:  # ctl chunk
+                c0, c1 = payload
+                consumer = ConstraintConsumer(
+                    GfOps, alphas_dev, z_last, lagrange_first, lagrange_last)
+                emit_ctls(consumer, GfOps, lv, nv, zs_local, zs_next,
+                          bscalar, c0, c1)
+            outs = []
+            for acc in consumer.accumulators():
+                acc = bc(acc) if acc.shape != (degree,) else acc
+                outs.extend([acc.lo, acc.hi])
+            return tuple(outs)
+
+        return part_fn
+
+    def vals_fn(t_lo, t_hi, z_lo, z_hi, s_lo, s_hi):
+        shift = gf.GF(s_lo, s_hi)
+        spows = gf.powers(shift, degree)
+        local = dntt.ntt(gf.mul(gf.GF(t_lo, t_hi), spows[None, :]))
+        zs_local = dntt.ntt(gf.mul(gf.GF(z_lo, z_hi), spows[None, :]))
+        return local.lo, local.hi, zs_local.lo, zs_local.hi
+
+    part_ends = tuple(b for (_, _, (a, b)) in parts)
+
+    def fin_fn(s_lo, s_hi, bank_lo, bank_hi, *flat):
+        # flat: parts x num_alphas x 2 lanes, each (degree,)
+        shift = gf.GF(s_lo, s_hi)
+        _, _, _, _, zh_inv = selectors(shift)
         outs = []
-        for acc in consumer.accumulators():
-            q = gf.mul(acc, bc(zh_inv))
+        for i in range(num_alphas):
+            alpha = gf.GF(bank_lo[i], bank_hi[i])
+            tot = gf.zeros((degree,))
+            for p, b_p in enumerate(part_ends):
+                off = p * 2 * num_alphas + 2 * i
+                term = gf.GF(flat[off], flat[off + 1])
+                e = K - b_p
+                if e:
+                    term = gf.mul(term, bc(gf.exp_const(alpha, e)))
+                tot = gf.add(tot, term)
+            q = gf.mul(tot, bc(zh_inv))
             outs.extend([q.lo, q.hi])
         return tuple(outs)
 
-    key = ("quotient", type(stark).__name__, trace_batch.coeffs.shape,
-           zs_batch.coeffs.shape, num_permutation_zs, len(ctl_meta),
-           perm_meta)
-
+    shapes_key = (type(stark).__name__, trace_batch.coeffs.shape,
+                  zs_batch.coeffs.shape, num_permutation_zs, len(ctl_meta),
+                  perm_meta)
+    part_keys = [("qpart", kind, payload, shapes_key)
+                 for (kind, payload, _) in parts]
     n_classes = 1 << qdb
     per_class = [[] for _ in range(num_alphas)]  # [alpha][class] -> GF (n,)
     if mesh is not None and n_classes % mesh.size == 0:
         # MESH-SHARDED quotient (the reference's par_iter over coset chunks,
         # prover.rs:571-660): every residue class is an independent (C, n)
-        # evaluation of the SAME chunk_fn, so classes are distributed over
-        # all mesh devices (trace/Z coeffs replicated, shifts sharded) and
-        # each device vmaps its local classes. Identical exact arithmetic
-        # to the sequential loop -> the proof stays byte-equal.
+        # evaluation, so classes are distributed over all mesh devices
+        # (trace/Z coeffs replicated, shifts sharded); each device vmaps its
+        # local classes through the same split programs. Identical exact
+        # arithmetic -> the proof stays byte-equal.
         import jax
 
         from jax.sharding import PartitionSpec as P
 
         axes = tuple(mesh.axis_names)
-
-        def classes_fn(t_lo, t_hi, z_lo, z_hi, s_lo, s_hi, bank_lo, bank_hi):
-            return jax.vmap(
-                chunk_fn,
-                in_axes=(None, None, None, None, 0, 0, None, None),
-            )(t_lo, t_hi, z_lo, z_hi, s_lo, s_hi, bank_lo, bank_hi)
-
-        sfn = jax.shard_map(
-            classes_fn, mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P(axes), P(axes), P(), P()),
-            out_specs=P(axes, None),
-            check_vma=False,
-        )
         s_all = gf.from_u64(shifts)
-        with mesh:
-            outs = jax.jit(sfn)(
-                trace_batch.coeffs.lo, trace_batch.coeffs.hi,
-                zs_batch.coeffs.lo, zs_batch.coeffs.hi,
-                s_all.lo, s_all.hi, bank.lo, bank.hi,
-            )
+
+        def mesh_call(fn, in_axes, in_specs, nouts, args):
+            from ..parallel.sharded import put_with_specs
+
+            sfn = jax.shard_map(
+                lambda *a: jax.vmap(fn, in_axes=in_axes)(*a),
+                mesh=mesh, in_specs=in_specs,
+                out_specs=P(axes, None), check_vma=False)
+            with mesh:
+                return jax.jit(sfn)(*put_with_specs(mesh, args, in_specs))
+
+        rep, shd = P(), P(axes)
+        lv_lo, lv_hi, zv_lo, zv_hi = mesh_call(
+            vals_fn, (None, None, None, None, 0, 0),
+            (rep, rep, rep, rep, shd, shd), 4,
+            (trace_batch.coeffs.lo, trace_batch.coeffs.hi,
+             zs_batch.coeffs.lo, zs_batch.coeffs.hi, s_all.lo, s_all.hi))
+        flat = []
+        for (kind, payload, bounds), _k in zip(parts, part_keys):
+            outs = mesh_call(
+                make_part_fn(kind, payload, bounds),
+                (0, 0, 0, 0, 0, 0, None, None),
+                (P(axes, None, None),) * 4 + (shd, shd, rep, rep),
+                2 * num_alphas,
+                (lv_lo, lv_hi, zv_lo, zv_hi, s_all.lo, s_all.hi,
+                 bank.lo, bank.hi))
+            flat.extend(outs)
+        outs = mesh_call(
+            fin_fn, (0, 0, None, None) + (0,) * len(flat),
+            (shd, shd, rep, rep) + (P(axes, None),) * len(flat),
+            2 * num_alphas,
+            (s_all.lo, s_all.hi, bank.lo, bank.hi, *flat))
         for i in range(num_alphas):
             for r in range(n_classes):
                 per_class[i].append(
                     gf.GF(outs[2 * i][r], outs[2 * i + 1][r]))
     else:
-        fn = _jit(key, chunk_fn)
+        vfn = _jit(("qvals", shapes_key), vals_fn)
+        pfns = [(_jit(k, make_part_fn(kind, payload, bounds)))
+                for k, (kind, payload, bounds) in zip(part_keys, parts)]
+        ffn = _jit(("qfin", shapes_key, part_ends, K, CHUNK), fin_fn)
         for r in range(n_classes):
             s = gf.from_u64(shifts[r])
-            outs = fn(
+            lv_lo, lv_hi, zv_lo, zv_hi = vfn(
                 trace_batch.coeffs.lo, trace_batch.coeffs.hi,
-                zs_batch.coeffs.lo, zs_batch.coeffs.hi,
-                s.lo, s.hi, bank.lo, bank.hi,
-            )
+                zs_batch.coeffs.lo, zs_batch.coeffs.hi, s.lo, s.hi)
+            flat = []
+            for pfn in pfns:
+                flat.extend(pfn(lv_lo, lv_hi, zv_lo, zv_hi, s.lo, s.hi,
+                                bank.lo, bank.hi))
+            outs = ffn(s.lo, s.hi, bank.lo, bank.hi, *flat)
             for i in range(num_alphas):
                 per_class[i].append(gf.GF(outs[2 * i], outs[2 * i + 1]))
 
@@ -457,23 +579,27 @@ class _DeviceExtTree:
             axes = tuple(mesh.axis_names)
             vec = P(axes)
 
+            from ..parallel.sharded import put_with_specs
+
             def _shard_absorb(s, e, nstate):
+                specs = (vec,) * 4 + (P(), P(), P()) + (vec,) * nstate
                 fn = _jax.shard_map(
                     lambda *a, _s=s, _e=e: absorb(*a, _s=_s, _e=_e),
-                    mesh=mesh,
-                    in_specs=(vec,) * 4 + (P(), P(), P()) + (vec,) * nstate,
+                    mesh=mesh, in_specs=specs,
                     out_specs=(vec,) * nstate, check_vma=False)
-                return _jax.jit(fn)
+                return _jax.jit(fn), specs
 
             with mesh:
                 for s in range(0, total_cols, W):
                     e = min(total_cols, s + W)
                     b0 = s // 8
                     b1 = (2 * (e - s) + 15) // 16 + b0
-                    fn = _shard_absorb(s, e, len(state))
-                    state = list(fn(pv.re.lo, pv.re.hi, pv.im.lo, pv.im.hi,
-                                    flags_np[b0:b1], blen_np[b0:b1],
-                                    counter_np[b0:b1], *state))
+                    fn, specs = _shard_absorb(s, e, len(state))
+                    state = list(fn(*put_with_specs(
+                        mesh,
+                        (pv.re.lo, pv.re.hi, pv.im.lo, pv.im.hi,
+                         flags_np[b0:b1], blen_np[b0:b1],
+                         counter_np[b0:b1], *state), specs)))
                 digs = dmerkle.leaf_stream_finalize(state, hasher_kind)
                 # row-sharded subtree reduction while each device still
                 # holds >= 1 pair; tiny tail levels finish unsharded
@@ -486,7 +612,7 @@ class _DeviceExtTree:
                     check_vma=False))
                 cur = list(digs)
                 while m > (1 << cap_height) and m > 2 * mesh.size:
-                    cur = list(cfn(*cur))
+                    cur = list(cfn(*put_with_specs(mesh, cur, (vec,) * 8)))
                     m >>= 1
                     levels.append(cur)
             cur = [jnp.asarray(np.asarray(d)) for d in cur]
@@ -498,7 +624,16 @@ class _DeviceExtTree:
                 m >>= 1
                 levels.append(cur)
             cap_lanes = levels.pop()
-            self.levels_dev = levels
+            # re-host retained levels onto the default device: downstream
+            # path-gather programs mix them with device-0 arrays, which jax
+            # rejects for sharded inputs
+            import jax as _jax2
+
+            dev0 = _jax2.devices()[0]
+            self.levels_dev = [
+                [_jax2.device_put(lane, dev0) for lane in lv]
+                for lv in levels
+            ]
             self.levels_host = []
             self.cap = dmerkle.digests_to_u64_np(cap_lanes)
         else:
@@ -792,15 +927,18 @@ def fri_proof_device(initial_oracles, coeffs: gfe.GFE, values: gfe.GFE,
             import jax as _jax
             from jax.sharding import PartitionSpec as P
 
+            from ..parallel.sharded import put_with_specs
+
             vec = P(tuple(mesh.axis_names))
+            specs = (vec,) * 4 + (P(),) * 4
             sfn = _jax.jit(_jax.shard_map(
-                fold_fn, mesh=mesh,
-                in_specs=(vec,) * 4 + (P(),) * 4,
+                fold_fn, mesh=mesh, in_specs=specs,
                 out_specs=(vec,) * 4, check_vma=False))
             with mesh:
-                out = sfn(coeffs.re.lo, coeffs.re.hi,
-                          coeffs.im.lo, coeffs.im.hi,
-                          beta.re.lo, beta.re.hi, beta.im.lo, beta.im.hi)
+                out = sfn(*put_with_specs(
+                    mesh,
+                    (coeffs.re.lo, coeffs.re.hi, coeffs.im.lo, coeffs.im.hi,
+                     beta.re.lo, beta.re.hi, beta.im.lo, beta.im.hi), specs))
         else:
             fn = _jit(("frifold", m, arity), fold_fn)
             out = fn(coeffs.re.lo, coeffs.re.hi, coeffs.im.lo, coeffs.im.hi,
