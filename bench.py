@@ -125,7 +125,16 @@ def main():
     if warmup_env is not None:
         warmup = warmup_env == "1"
     else:
-        warmup = not os.path.exists(marker)
+        # adaptive: warmup (prove twice in-process -> the timed pass is true
+        # steady state) unless the recorded prove time says two passes won't
+        # fit the driver budget (VERDICT r4: "never two full proves in one
+        # driver budget")
+        warmup = True
+        try:
+            with open(marker) as f:
+                warmup = json.load(f).get("prove_s", 1e9) <= 600
+        except (OSError, ValueError):
+            pass
     from olavm_tpu.utils.timing import TimingTree
 
     if backend == "device":

@@ -297,6 +297,9 @@ def gather_paths_dev(levels_dev, x_indices, num_path_levels: int):
     idx = np.asarray(x_indices, dtype=np.int64)
     n_dev = min(len(levels_dev), num_path_levels)
     assert n_dev == num_path_levels, "tree must be device-built to the cap"
+    if num_path_levels == 0:
+        # leaves ARE the cap (tiny tables, e.g. degree-2 sccall): empty path
+        return jnp.zeros((k, 0, 8), jnp.uint32)
     sibs = [jnp.asarray((idx >> lvl) ^ 1) for lvl in range(n_dev)]
 
     def gather(levels, sib_list):
